@@ -1,0 +1,172 @@
+"""Downstream heads of the STA frontend: dense pointmap (DPT / linear) and
+relative-pose regression.
+
+Behavioral spec comes from the reference implementation:
+  * DPT head: 4 hook levels reassembled to spatial maps, refinement pyramid,
+    4-channel output (xyz + conf) at full resolution
+    (reference: vista_slam/sta_model/heads/dpt_head.py:98-117,
+     heads/dpt_block.py:264-450).
+  * postprocess: pts3d = (xyz/|xyz|) * expm1(|xyz|), conf = 1 + exp(x)
+    (reference: heads/postprocess.py:10-62).
+  * pose head: 3-layer ReLU MLP -> translation(3) + 9D rotation with SVD
+    orthogonalization + sigmoid confidence (reference: heads/pose_head.py).
+
+Everything is NHWC and fp32 — the reference also pins its heads to fp32 by
+disabling autocast around them (reference: vista_slam/slam.py:164,178).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..utils.image_ops import resize_bilinear
+
+
+class ResidualConvUnit(nn.Module):
+    """relu -> conv3x3 -> relu -> conv3x3, residual add."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.relu(x)
+        out = nn.Conv(self.features, (3, 3), padding=1, name="conv1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features, (3, 3), padding=1, name="conv2")(out)
+        return out + x
+
+
+class FeatureFusionBlock(nn.Module):
+    """DPT fusion: optional skip refinement, refinement, 2x upsample, 1x1 conv."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        rcu1 = ResidualConvUnit(self.features, name="res_conv_unit1")
+        rcu2 = ResidualConvUnit(self.features, name="res_conv_unit2")
+        if skip is not None:
+            x = x + rcu1(skip)
+        x = rcu2(x)
+        h, w = x.shape[1], x.shape[2]
+        x = resize_bilinear(x, (2 * h, 2 * w), align_corners=True)
+        x = nn.Conv(self.features, (1, 1), name="out_conv")(x)
+        return x
+
+
+class DPTHead(nn.Module):
+    """Dense prediction head over 4 hooked token levels.
+
+    Inputs: list of 4 token maps [B, N, C_l] (pose token already stripped),
+    with dims (enc_dim, dec_dim, dec_dim, dec_dim); output [B, H, W, out_ch].
+    """
+    patch_size: int = 16
+    layer_dims: Sequence[int] = (96, 192, 384, 768)
+    feature_dim: int = 256
+    last_dim: int = 128  # create_dpt_head passes feature_dim//2 (dpt_head.py:104-105)
+    out_channels: int = 4
+
+    @nn.compact
+    def __call__(self, hooks: Sequence[jnp.ndarray], img_hw: tuple[int, int]):
+        H, W = img_hw
+        nh, nw = H // self.patch_size, W // self.patch_size
+
+        def tokens_to_map(t):
+            b, n, c = t.shape
+            return t.reshape(b, nh, nw, c)
+
+        maps = [tokens_to_map(t.astype(jnp.float32)) for t in hooks]
+
+        # per-level reassembly to multi-scale maps (act_postprocess)
+        l0 = nn.Conv(self.layer_dims[0], (1, 1), name="act0_proj")(maps[0])
+        l0 = nn.ConvTranspose(self.layer_dims[0], (4, 4), strides=(4, 4), name="act0_up")(l0)
+        l1 = nn.Conv(self.layer_dims[1], (1, 1), name="act1_proj")(maps[1])
+        l1 = nn.ConvTranspose(self.layer_dims[1], (2, 2), strides=(2, 2), name="act1_up")(l1)
+        l2 = nn.Conv(self.layer_dims[2], (1, 1), name="act2_proj")(maps[2])
+        l3 = nn.Conv(self.layer_dims[3], (1, 1), name="act3_proj")(maps[3])
+        l3 = nn.Conv(self.layer_dims[3], (3, 3), strides=(2, 2), padding=1, name="act3_down")(l3)
+
+        # project all levels to the fusion feature dim
+        rn = [
+            nn.Conv(self.feature_dim, (3, 3), padding=1, use_bias=False, name=f"layer{i+1}_rn")(l)
+            for i, l in enumerate([l0, l1, l2, l3])
+        ]
+
+        p4 = FeatureFusionBlock(self.feature_dim, name="refinenet4")(rn[3])
+        p4 = p4[:, : rn[2].shape[1], : rn[2].shape[2], :]
+        p3 = FeatureFusionBlock(self.feature_dim, name="refinenet3")(p4, rn[2])
+        p2 = FeatureFusionBlock(self.feature_dim, name="refinenet2")(p3, rn[1])
+        p1 = FeatureFusionBlock(self.feature_dim, name="refinenet1")(p2, rn[0])
+
+        # regression head to full resolution
+        x = nn.Conv(self.feature_dim // 2, (3, 3), padding=1, name="head0")(p1)
+        x = resize_bilinear(x, (H, W), align_corners=True)
+        x = nn.Conv(self.last_dim, (3, 3), padding=1, name="head2")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (1, 1), name="head4")(x)
+        return x  # [B, H, W, out_channels]
+
+
+class LinearPtsHead(nn.Module):
+    """Per-token linear projection + depth-to-space upsample (reference:
+    heads/linear_head.py:30-41)."""
+    patch_size: int = 16
+    out_channels: int = 4
+
+    @nn.compact
+    def __call__(self, hooks, img_hw):
+        H, W = img_hw
+        nh, nw = H // self.patch_size, W // self.patch_size
+        tokens = hooks[-1].astype(jnp.float32)  # [B, N, dec_dim]
+        p = self.patch_size
+        x = nn.Dense(self.out_channels * p * p, name="proj")(tokens)
+        b = x.shape[0]
+        x = x.reshape(b, nh, nw, p, p, self.out_channels)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, H, W, self.out_channels)
+        return x
+
+
+def postprocess_pts3d(raw: jnp.ndarray, conf_offset: float = 1.0):
+    """Map raw 4-channel head output to (pts3d, conf).
+
+    pts3d: direction * expm1(norm); conf: offset + exp(x)
+    (reference: heads/postprocess.py:22-62 with modes 'exp'/'exp').
+    """
+    xyz = raw[..., 0:3]
+    d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    pts = xyz / jnp.maximum(d, 1e-8) * jnp.expm1(d)
+    conf = conf_offset + jnp.exp(raw[..., 3])
+    return pts, conf
+
+
+def svd_orthogonalize(m: jnp.ndarray) -> jnp.ndarray:
+    """9D -> SO(3) via row-normalization + SVD projection with reflection fix
+    (reference: heads/pose_head.py:38-57)."""
+    m = m.reshape(m.shape[:-1] + (3, 3)) if m.shape[-1] == 9 else m
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-8)
+    mt = jnp.swapaxes(m, -1, -2)
+    u, _, vh = jnp.linalg.svd(mt.astype(jnp.float32), full_matrices=False)
+    v = jnp.swapaxes(vh, -1, -2)
+    det = jnp.linalg.det(v @ jnp.swapaxes(u, -1, -2))
+    v = jnp.concatenate([v[..., :, :-1], v[..., :, -1:] * det[..., None, None]], axis=-1)
+    return v @ jnp.swapaxes(u, -1, -2)
+
+
+class PoseHead(nn.Module):
+    """Relative-pose regression from the decoder's pose token."""
+    hidden: int = 512
+
+    @nn.compact
+    def __call__(self, token: jnp.ndarray):
+        x = token.astype(jnp.float32)
+        for i in range(3):
+            x = nn.relu(nn.Dense(self.hidden, name=f"mlp{i}")(x))
+        t = nn.Dense(3, name="fc_t")(x)
+        r9 = nn.Dense(9, name="fc_rot")(x)
+        conf = nn.sigmoid(nn.Dense(1, name="fc_conf")(x))[..., 0]
+        R = svd_orthogonalize(r9)
+        b = token.shape[0]
+        pose = jnp.zeros((b, 4, 4), dtype=jnp.float32)
+        pose = pose.at[:, :3, :3].set(R).at[:, :3, 3].set(t).at[:, 3, 3].set(1.0)
+        return {"pose": pose, "conf": conf}

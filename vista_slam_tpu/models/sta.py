@@ -1,0 +1,304 @@
+"""Symmetric Two-view Association (STA) frontend — TPU-native design.
+
+Architecture (capability-matched to the reference
+vista_slam/sta_model/sta_model.py:26-291):
+  * 16x16 conv patch embedding -> 24-layer ViT encoder (1024 dim, 16 heads)
+    with RoPE2D (base 100) applied to q/k inside every attention.
+  * 12-layer symmetric cross-attention decoder (768 dim, 12 heads) over the
+    two views, with a learned pose token prepended at RoPE position (-1, -1).
+  * DPT pointmap head over hook levels [enc, dec6, dec9, dec12] and a pose
+    head over the final pose token.
+
+TPU-first design decisions (deliberately NOT a port):
+  * Both decode directions run as one batch: the reference calls each
+    decoder block twice per layer (sta_model.py:224-238); here the two
+    streams are stacked on the batch axis and each layer is a single fused
+    forward, doubling MXU utilization.
+  * All shapes static; RoPE tables are trace-time constants.
+  * Mixed precision: encoder/decoder matmuls in bfloat16 with fp32
+    accumulation and fp32 layernorm/softmax; heads in fp32, mirroring the
+    reference's autocast boundaries (slam.py:164,178).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import mha
+from ..ops.rope2d import apply_rope2d, rope2d_tables
+from .heads import DPTHead, LinearPtsHead, PoseHead, postprocess_pts3d
+
+
+@dataclasses.dataclass(frozen=True)
+class STAConfig:
+    img_size: tuple[int, int] = (224, 224)
+    patch_size: int = 16
+    enc_dim: int = 1024
+    enc_depth: int = 24
+    enc_heads: int = 16
+    dec_dim: int = 768
+    dec_depth: int = 12
+    dec_heads: int = 12
+    mlp_ratio: int = 4
+    rope_base: float = 100.0
+    head_type: str = "dpt"  # 'dpt' | 'linear'
+    conf_offset: float = 1.0  # conf_mode ('exp', 1, inf)
+    compute_dtype: Any = jnp.bfloat16
+    use_flash: bool | None = None  # None = auto by sequence length
+
+    @property
+    def grid(self) -> tuple[int, int]:
+        return (self.img_size[0] // self.patch_size, self.img_size[1] // self.patch_size)
+
+    @property
+    def num_patches(self) -> int:
+        gh, gw = self.grid
+        return gh * gw
+
+    # DPT hook positions into [enc] + [embed, blk1..blk12]:
+    # [0, d*2//4+1, d*3//4+1, d+1] (reference: heads/dpt_head.py:112)
+    @property
+    def hooks(self) -> tuple[int, ...]:
+        d = self.dec_depth
+        return (0, d * 2 // 4 + 1, d * 3 // 4 + 1, d + 1)
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+def _ln(name):
+    return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name=name)
+
+
+class SelfAttention(nn.Module):
+    dim: int
+    heads: int
+    dtype: Any
+    use_flash: bool | None
+
+    @nn.compact
+    def __call__(self, x, rope):
+        B, N, C = x.shape
+        hd = C // self.heads
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.heads, hd)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        if rope is not None:
+            cos, sin = rope
+            q = apply_rope2d(q, cos, sin)
+            k = apply_rope2d(k, cos, sin)
+        out = mha(q, k, v, hd ** -0.5, self.use_flash)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class CrossAttention(nn.Module):
+    dim: int
+    heads: int
+    dtype: Any
+    use_flash: bool | None
+
+    @nn.compact
+    def __call__(self, x, y, rope_q, rope_k):
+        B, Nq, C = x.shape
+        Nk = y.shape[1]
+        hd = C // self.heads
+        q = nn.Dense(C, dtype=self.dtype, name="projq")(x).reshape(B, Nq, self.heads, hd).transpose(0, 2, 1, 3)
+        k = nn.Dense(C, dtype=self.dtype, name="projk")(y).reshape(B, Nk, self.heads, hd).transpose(0, 2, 1, 3)
+        v = nn.Dense(C, dtype=self.dtype, name="projv")(y).reshape(B, Nk, self.heads, hd).transpose(0, 2, 1, 3)
+        if rope_q is not None:
+            q = apply_rope2d(q, *rope_q)
+            k = apply_rope2d(k, *rope_k)
+        out = mha(q, k, v, hd ** -0.5, self.use_flash)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Nq, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class EncoderBlock(nn.Module):
+    dim: int
+    heads: int
+    mlp_ratio: int
+    dtype: Any
+    use_flash: bool | None
+
+    @nn.compact
+    def __call__(self, x, rope):
+        h = _ln("norm1")(x).astype(self.dtype)
+        x = x + SelfAttention(self.dim, self.heads, self.dtype, self.use_flash, name="attn")(h, rope)
+        h = _ln("norm2")(x).astype(self.dtype)
+        x = x + Mlp(self.dim, self.dim * self.mlp_ratio, self.dtype, name="mlp")(h)
+        return x
+
+
+class DecoderBlock(nn.Module):
+    """Self-attn + cross-attn (with layernormed memory) + MLP, pre-LN
+    (reference: blocks/sta_blocks.py:210-231)."""
+    dim: int
+    heads: int
+    mlp_ratio: int
+    dtype: Any
+    use_flash: bool | None
+
+    @nn.compact
+    def __call__(self, x, y, rope):
+        h = _ln("norm1")(x).astype(self.dtype)
+        x = x + SelfAttention(self.dim, self.heads, self.dtype, self.use_flash, name="attn")(h, rope)
+        y_ = _ln("norm_y")(y).astype(self.dtype)
+        h = _ln("norm2")(x).astype(self.dtype)
+        x = x + CrossAttention(self.dim, self.heads, self.dtype, self.use_flash, name="cross_attn")(
+            h, y_, rope, rope)
+        h = _ln("norm3")(x).astype(self.dtype)
+        x = x + Mlp(self.dim, self.dim * self.mlp_ratio, self.dtype, name="mlp")(h)
+        return x
+
+
+class STA(nn.Module):
+    """The full two-view frontend as a flax module.
+
+    Methods:
+      encode(img)                      -> enc tokens [B, N, enc_dim] (un-normed)
+      decode_pair(f1, f2)              -> hook states for both directions
+      pair_heads(f1, f2, hooks)        -> pointmaps/confs/poses for both sides
+      __call__(img1, img2)             -> full two-view forward (init / train)
+    """
+    cfg: STAConfig
+
+    def setup(self):
+        c = self.cfg
+        self.patch_proj = nn.Conv(c.enc_dim, (c.patch_size, c.patch_size),
+                                  strides=(c.patch_size, c.patch_size),
+                                  dtype=c.compute_dtype, name="patch_embed")
+        self.enc_blocks = [
+            EncoderBlock(c.enc_dim, c.enc_heads, c.mlp_ratio, c.compute_dtype,
+                         c.use_flash, name=f"enc_block{i}")
+            for i in range(c.enc_depth)
+        ]
+        self.enc_norm = _ln("enc_norm")
+        self.decoder_embed = nn.Dense(c.dec_dim, dtype=c.compute_dtype, name="decoder_embed")
+        self.dec_blocks = [
+            DecoderBlock(c.dec_dim, c.dec_heads, c.mlp_ratio, c.compute_dtype,
+                         c.use_flash, name=f"dec_block{i}")
+            for i in range(c.dec_depth)
+        ]
+        self.dec_norm = _ln("dec_norm")
+        self.pose_token = self.param(
+            "pose_token", nn.initializers.normal(0.02), (1, 1, c.dec_dim))
+        if c.head_type == "dpt":
+            self.head_pts = DPTHead(patch_size=c.patch_size, name="head_pts")
+        else:
+            self.head_pts = LinearPtsHead(patch_size=c.patch_size, name="head_pts")
+        self.head_pose = PoseHead(name="head_pose")
+
+    # ------------------------------------------------------------------
+    def _enc_rope(self):
+        c = self.cfg
+        gh, gw = c.grid
+        return rope2d_tables(gh, gw, c.enc_dim // c.enc_heads, c.rope_base, 0)
+
+    def _dec_rope(self):
+        c = self.cfg
+        gh, gw = c.grid
+        return rope2d_tables(gh, gw, c.dec_dim // c.dec_heads, c.rope_base, 1)
+
+    def encode(self, img: jnp.ndarray) -> jnp.ndarray:
+        """img: [B, H, W, 3] normalized to [-1, 1]. Returns un-layernormed
+        encoder tokens, matching the reference which feeds unnormalized
+        features to the decoder and heads (sta_model.py:144,163-174 with
+        normalize=False)."""
+        c = self.cfg
+        x = self.patch_proj(img.astype(c.compute_dtype))
+        b, gh, gw, d = x.shape
+        x = x.reshape(b, gh * gw, d)
+        rope = self._enc_rope()
+        for blk in self.enc_blocks:
+            x = blk(x, rope)
+        return x.astype(jnp.float32)
+
+    def decode_pair(self, f1: jnp.ndarray, f2: jnp.ndarray):
+        """Run the symmetric decoder on a batch of pairs.
+
+        f1, f2: [B, N, enc_dim]. Internally both directions are stacked on
+        the batch axis (x = [f1; f2] attends to y = [f2; f1]) so each layer
+        is one kernel launch instead of two.
+
+        Returns (h_mid1, h_mid2, final): the DPT hook states
+        (after blocks hooks[1]-1 and hooks[2]-1) and the layernormed final
+        state, each [2B, 1+N, dec_dim]; index 0 of the token axis is the
+        pose token. First B rows = direction 1 (view-i queries), last B =
+        direction 2.
+        """
+        c = self.cfg
+        B = f1.shape[0]
+        x = jnp.concatenate([f1, f2], axis=0).astype(c.compute_dtype)
+        x = self.decoder_embed(x)
+        pose_tok = jnp.broadcast_to(
+            self.pose_token.astype(c.compute_dtype), (2 * B, 1, c.dec_dim))
+        x = jnp.concatenate([pose_tok, x], axis=1)
+        rope = self._dec_rope()
+
+        hook_after = {c.hooks[1] - 1, c.hooks[2] - 1}  # block indices (1-based)
+        mids = {}
+        for i, blk in enumerate(self.dec_blocks):
+            y = jnp.concatenate([x[B:], x[:B]], axis=0)  # swap streams
+            x = blk(x, y, rope)
+            if (i + 1) in hook_after:
+                mids[i + 1] = x.astype(jnp.float32)
+        final = self.dec_norm(x).astype(jnp.float32)
+        return mids[c.hooks[1] - 1], mids[c.hooks[2] - 1], final
+
+    def pair_heads(self, f1, f2, h6, h9, final):
+        """Apply pointmap + pose heads to both directions of a decoded pair.
+
+        Returns a dict of fp32 outputs, leading axis 2B = [dir1; dir2]:
+          pts3d [2B,H,W,3], conf [2B,H,W], pose [2B,4,4], pose_conf [2B].
+        Direction 1 predicts view-i's pointmap in view-i's frame and the
+        relative pose; direction 2 the symmetric quantities.
+        """
+        c = self.cfg
+        enc = jnp.concatenate([f1, f2], axis=0).astype(jnp.float32)
+        hooks = [enc, h6[:, 1:], h9[:, 1:], final[:, 1:]]
+        raw = self.head_pts(hooks, c.img_size)
+        pts3d, conf = postprocess_pts3d(raw, c.conf_offset)
+        pose_out = self.head_pose(final[:, 0])
+        return {
+            "pts3d": pts3d,
+            "conf": conf,
+            "pose": pose_out["pose"],
+            "pose_conf": pose_out["conf"],
+        }
+
+    def decode_and_heads(self, f1, f2):
+        h6, h9, final = self.decode_pair(f1, f2)
+        return self.pair_heads(f1, f2, h6, h9, final)
+
+    def __call__(self, img1: jnp.ndarray, img2: jnp.ndarray):
+        f1 = self.encode(img1)
+        f2 = self.encode(img2)
+        return self.decode_and_heads(f1, f2)
+
+
+def init_params(cfg: STAConfig, seed: int = 0):
+    model = STA(cfg)
+    h, w = cfg.img_size
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(seed), dummy, dummy)
+    return model, params
+
+
+def param_count(params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,1 @@
+from . import sim3  # noqa: F401

@@ -1,0 +1,42 @@
+"""Multi-head attention compute paths.
+
+Two implementations behind one interface:
+  * ``mha_xla`` — einsum attention; for the STA token counts (197 tokens at
+    224x224/16) XLA fuses this competitively, and the fp32 softmax matches
+    the numerics of the reference's xformers path (reference:
+    vista_slam/sta_model/blocks/sta_blocks.py:129-148).
+  * ``mha_flash`` — a Pallas TPU flash-attention kernel (ops/pallas/flash.py)
+    for larger resolutions where the O(N^2) score matrix stops fitting VMEM.
+
+Inputs are [B, H, N, Dh] (q, k, v already projected and RoPE-rotated).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def mha_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Attention with fp32 logits/softmax, output in v.dtype. [B,H,N,Dh]."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * jnp.asarray(scale, dtype=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+def mha(q, k, v, scale, use_flash: bool | None = None):
+    """Dispatch between the XLA path and the Pallas flash kernel.
+
+    ``use_flash=None`` picks flash automatically once the sequence is long
+    enough for tiling to pay off (128-token blocks).
+    """
+    n = q.shape[-2]
+    if use_flash is None:
+        use_flash = n >= 1024
+    if use_flash:
+        from .pallas.flash import flash_attention
+        return flash_attention(q, k, v, scale)
+    return mha_xla(q, k, v, scale)
