@@ -1,0 +1,95 @@
+import numpy as np
+import pytest
+
+from synthetic import SyntheticFrontend, circle_trajectory, umeyama_ate
+from vista_slam_tpu.slam.online_slam import OnlineSLAM
+
+
+def run_slam(n_views=10, noise=0.0, pair_scale_range=(0.5, 2.0), nbr=2,
+             pgo_every=500, seed=0, pose_conf=1.0, rel_pose_thres=0.75):
+    gt = circle_trajectory(n_views)
+    fe = SyntheticFrontend(gt, noise=noise, pair_scale_range=pair_scale_range,
+                           seed=seed, pose_conf=pose_conf)
+    slam = OnlineSLAM(fe, loop_detector=None, max_view_num=32,
+                      neighbor_edge_num=nbr, loop_edge_num=2,
+                      pgo_every=pgo_every, rel_pose_thres=rel_pose_thres)
+    for t in range(n_views):
+        slam.step({"rgb": np.zeros((2, 2, 3), np.float32),
+                   "view_name": f"v{t}"}, force_pgo=(t == n_views - 1))
+    return slam, gt
+
+
+def test_exact_measurements_give_zero_ate():
+    slam, gt = run_slam(n_views=10, noise=0.0)
+    est = [slam.get_view(v)["pose"] for v in range(slam.view_num)]
+    assert umeyama_ate(est, gt) < 1e-2
+
+
+def test_pair_scales_are_recovered():
+    """Every node's Sim(3) scale must invert its pair's random depth scale:
+    scaled depths of all nodes of a view must agree after optimization."""
+    slam, _ = run_slam(n_views=8, noise=0.0)
+    g = slam.graph
+    for v in range(slam.view_num):
+        nodes = g.view_to_nodes[v]
+        scaled = [g.pcl[n][0].mean() * g.node_poses[n][7] for n in nodes]
+        assert np.std(scaled) / np.mean(scaled) < 2e-2, f"view {v}: {scaled}"
+
+
+def test_noisy_measurements_improve_with_pgo():
+    slam, gt = run_slam(n_views=12, noise=0.05, seed=3)
+    est = [slam.get_view(v)["pose"] for v in range(slam.view_num)]
+    ate = umeyama_ate(est, gt)
+    assert ate < 0.2, ate
+
+
+def test_edge_rejection():
+    """Low pose confidence rejects non-adjacent edges but keeps odometry
+    (reference: slam.py:169-170,195-198)."""
+    gt = circle_trajectory(6)
+    fe = SyntheticFrontend(gt, pose_conf=0.1)
+    slam = OnlineSLAM(fe, loop_detector=None, max_view_num=16,
+                      neighbor_edge_num=3, pgo_every=500)
+    for t in range(6):
+        slam.step({"rgb": np.zeros((2, 2, 3), np.float32)},
+                  force_pgo=(t == 5))
+    # only adjacent (i, i-1) pose edges were accepted -> exactly 2 nodes/view
+    # except boundaries, and each view chain is connected
+    for v in range(1, 5):
+        assert len(slam.graph.view_to_nodes[v]) == 2
+    est = [slam.get_view(v)["pose"] for v in range(slam.view_num)]
+    assert umeyama_ate(est, gt) < 1e-2
+
+
+def test_save_data_all(tmp_path):
+    gt = circle_trajectory(6)
+    fe = SyntheticFrontend(gt)
+    slam = OnlineSLAM(fe, loop_detector=None, max_view_num=32,
+                      neighbor_edge_num=2, loop_edge_num=2, pgo_every=500)
+    for t in range(6):
+        # rgb resolution matches the synthetic depth maps so PLY gets colors
+        slam.step({"rgb": np.zeros((16, 16, 3), np.float32)},
+                  force_pgo=(t == 5))
+    out = str(tmp_path / "dump")
+    slam.save_data_all(out, gt_poses=gt)
+
+    import os
+
+    for f in ["trajectory.npy", "scales.npy", "images.npy", "depths.npy",
+              "confs.npz", "intrinsics.npy", "pointcloud.ply", "gt_poses.npy",
+              "view_graph.npz"]:
+        assert os.path.exists(os.path.join(out, f)), f
+    traj = np.load(os.path.join(out, "trajectory.npy"))
+    assert traj.shape == (6, 4, 4)
+    from vista_slam_tpu.utils.pointcloud import read_ply
+
+    pts, cols = read_ply(os.path.join(out, "pointcloud.ply"))
+    assert pts.shape[1] == 3 and len(pts) > 0 and cols is not None
+
+
+def test_timing_dict_keys():
+    slam, _ = run_slam(n_views=4)
+    td = slam.get_time_dict()
+    for k in ["prepare_data", "encoder", "decoder", "lc", "pgo",
+              "graph_construction", "total"]:
+        assert k in td

@@ -25,6 +25,26 @@ import jax.numpy as jnp
 from ..utils.image_ops import resize_bilinear
 
 
+class StridedUpsample(nn.Module):
+    """ConvTranspose with kernel == stride, expressed as a dense projection +
+    depth-to-space shuffle: out[i*k+a, j*k+b, co] = sum_ci x[i,j,ci] W[ci,a,b,co].
+
+    Mathematically identical to torch.nn.ConvTranspose2d(k, stride=k) but maps
+    onto one MXU matmul with unambiguous weight layout for checkpoint
+    conversion.
+    """
+    features: int
+    k: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, _ = x.shape
+        y = nn.Dense(self.k * self.k * self.features, name="proj")(x)
+        y = y.reshape(b, h, w, self.k, self.k, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * self.k, w * self.k, self.features)
+        return y
+
+
 class ResidualConvUnit(nn.Module):
     """relu -> conv3x3 -> relu -> conv3x3, residual add."""
     features: int
@@ -80,9 +100,9 @@ class DPTHead(nn.Module):
 
         # per-level reassembly to multi-scale maps (act_postprocess)
         l0 = nn.Conv(self.layer_dims[0], (1, 1), name="act0_proj")(maps[0])
-        l0 = nn.ConvTranspose(self.layer_dims[0], (4, 4), strides=(4, 4), name="act0_up")(l0)
+        l0 = StridedUpsample(self.layer_dims[0], 4, name="act0_up")(l0)
         l1 = nn.Conv(self.layer_dims[1], (1, 1), name="act1_proj")(maps[1])
-        l1 = nn.ConvTranspose(self.layer_dims[1], (2, 2), strides=(2, 2), name="act1_up")(l1)
+        l1 = StridedUpsample(self.layer_dims[1], 2, name="act1_up")(l1)
         l2 = nn.Conv(self.layer_dims[2], (1, 1), name="act2_proj")(maps[2])
         l3 = nn.Conv(self.layer_dims[3], (1, 1), name="act3_proj")(maps[3])
         l3 = nn.Conv(self.layer_dims[3], (3, 3), strides=(2, 2), padding=1, name="act3_down")(l3)
