@@ -1,0 +1,60 @@
+"""End-to-end smoke test of the offline CLI on generated images with a tiny
+random-weight model: the full path dataset -> encode -> batched pair decode ->
+graph -> PGO -> artifact dump must run on CPU."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+def make_images(tmp_path, n=6, size=256):
+    rng = np.random.default_rng(0)
+    base = (rng.uniform(0, 255, (size // 8, size // 8, 3))).astype(np.uint8)
+    base = cv2.resize(base, (size * 2, size * 2), interpolation=cv2.INTER_CUBIC)
+    paths = []
+    for i in range(n):
+        crop = base[i * 8:i * 8 + size, i * 8:i * 8 + size]
+        p = str(tmp_path / f"frame_{i:03d}.png")
+        cv2.imwrite(p, crop)
+        paths.append(p)
+    return paths
+
+
+def test_cli_run_end_to_end(tmp_path):
+    from vista_slam_tpu.cli.run import main
+
+    make_images(tmp_path / "", n=6)
+    cfg_path = str(tmp_path / "cfg.yaml")
+    out_dir = str(tmp_path / "out")
+    with open(cfg_path, "w") as f:
+        f.write(f"""
+output_dir: {out_dir}
+compute_dtype: float32
+keyframe_detection: stride
+stride: 1
+max_view_num: 10
+neighbor_edge_num: 2
+loop_edge_num: 2
+pgo_every: 500
+rel_pose_thres: -1.0
+model:
+  img_size: [64, 64]
+  enc_dim: 64
+  enc_depth: 2
+  enc_heads: 4
+  dec_dim: 48
+  dec_depth: 4
+  dec_heads: 4
+  mlp_ratio: 2
+""")
+    slam = main(["--config", cfg_path, "--images", str(tmp_path / "frame_*.png"),
+                 "--output", out_dir])
+    assert slam.view_num >= 4
+    for f in ["trajectory.npy", "depths.npy", "pointcloud.ply"]:
+        assert os.path.exists(os.path.join(out_dir, f))
+    traj = np.load(os.path.join(out_dir, "trajectory.npy"))
+    assert traj.shape[1:] == (4, 4)
+    assert np.isfinite(traj).all()

@@ -1,0 +1,125 @@
+"""Offline SLAM entry point: run on an image glob.
+
+Usage:
+  python -m vista_slam_tpu.cli.run --config configs/default.yaml \
+      --images '/path/to/images/*.png' [--output DIR] [--verbose]
+
+Behavior matches the reference CLI (reference: run.py:93-265): three keyframe
+strategies (stride / flow / flow_stride with an automatic full restart in
+stride mode when the keyframe budget is exceeded), a final forced PGO, stage
+timing report, and the full artifact dump.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import numpy as np
+
+from ..datasets import SLAMImagesOnly
+from ..utils.config import load_config
+from ..utils.logging import Channel, log
+from .common import build_slam, select_stride_indices
+
+
+def run_sequence(slam, dataset, cfg, progress: bool = True):
+    """Drive the keyframe loop over a dataset; returns total data-read time."""
+    n = len(dataset)
+    stride_mode = cfg.keyframe_detection == "stride"
+    stride_idxes = (select_stride_indices(n, cfg.stride, cfg.max_view_num)
+                    if stride_mode else None)
+    read_time = 0.0
+    t = 0
+    first = True
+    is_optimized = False
+    while t < n:
+        t_read = time.time()
+        if stride_mode:
+            is_kf = t in stride_idxes
+            data = dataset[t] if is_kf else None
+        else:
+            data = dataset[t]
+            is_kf = slam.flow_tracker.is_new_keyframe(data["gray"])
+        read_time += time.time() - t_read
+
+        if not is_kf:
+            if t == n - 1 and not is_optimized:
+                slam.pose_graph_optimize()
+            t += 1
+            continue
+
+        value = {"rgb": data["rgb"], "gray": data.get("gray"),
+                 "view_name": data.get("img_name", f"frame_{t}")}
+        is_optimized = slam.step(value, force_pgo=(t == n - 1))
+
+        if first:
+            first = False
+            t += 1
+            continue
+
+        if slam.view_num > cfg.max_view_num:
+            if cfg.keyframe_detection == "flow_stride":
+                log(f"max_view_num {cfg.max_view_num} reached; restarting in "
+                    f"stride mode (stride={cfg.stride})", Channel.WARNING)
+                stride_mode = True
+                stride_idxes = select_stride_indices(n, cfg.stride, cfg.max_view_num)
+                slam.reset()
+                t = 0
+                first = True
+                read_time = 0.0
+                is_optimized = False
+                continue
+            log(f"max_view_num {cfg.max_view_num} reached; stopping early",
+                Channel.WARNING)
+            slam.pose_graph_optimize()
+            is_optimized = True
+            break
+
+        if progress and t % 50 == 0:
+            log(f"[{t + 1}/{n}] keyframes={slam.view_num}")
+        t += 1
+    return read_time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--images", required=True,
+                        help="glob of input images, e.g. '/data/seq/*.png'")
+    parser.add_argument("--output", default=None)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config, output_dir=args.output,
+                      verbose=args.verbose or None)
+    np.random.seed(int(cfg.random_seed))
+    os.makedirs(cfg.output_dir, exist_ok=True)
+
+    res = tuple((cfg.get("model", {}) or {}).get("img_size", (224, 224)))
+    dataset = SLAMImagesOnly(glob.glob(args.images), resolution=res)
+    if len(dataset) == 0:
+        raise SystemExit(f"no images matched {args.images}")
+    log(f"{len(dataset)} frames")
+
+    slam = build_slam(cfg)
+    read_time = run_sequence(slam, dataset, cfg)
+
+    log(f"total keyframes detected: {slam.view_num}")
+    td = slam.get_time_dict()
+    td["prepare_data"] += read_time
+    td["total"] += read_time
+    log(f"total time: {td['total']:.1f}s")
+    if cfg.verbose:
+        log(f"stage timing: { {k: round(v, 2) for k, v in td.items()} }")
+
+    log(f"saving artifacts to {cfg.output_dir} ...")
+    slam.save_data_all(cfg.output_dir)
+    log("done.")
+    return slam
+
+
+if __name__ == "__main__":
+    main()

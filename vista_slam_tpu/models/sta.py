@@ -291,6 +291,25 @@ class STA(nn.Module):
         f2 = self.encode(img2)
         return self.decode_and_heads(f1, f2)
 
+    def train_forward(self, main_img: jnp.ndarray, support_imgs: jnp.ndarray):
+        """Training forward over one main view and S support views
+        (reference: sta_model.py:247-291 — encode main once, decode each
+        (main, support) pair and run both heads).
+
+        main_img [B,H,W,3], support_imgs [S,B,H,W,3]. TPU redesign: all S
+        supports are encoded in one batched call and all S pair-decodes run
+        as one batch of size S*B (the reference loops over supports).
+
+        Returns dict with leading axis 2*S*B: first S*B rows are the main
+        view's predictions per support pairing, last S*B rows the support
+        views' predictions.
+        """
+        S, B = support_imgs.shape[0], support_imgs.shape[1]
+        f_main = self.encode(main_img)                       # [B,N,C]
+        f_supp = self.encode(support_imgs.reshape((S * B,) + support_imgs.shape[2:]))
+        f_main_tiled = jnp.tile(f_main, (S, 1, 1))           # [S*B,N,C]
+        return self.decode_and_heads(f_main_tiled, f_supp)
+
 
 def init_params(cfg: STAConfig, seed: int = 0):
     model = STA(cfg)

@@ -174,7 +174,9 @@ class Vocabulary:
                 parts = line.split()
                 if len(parts) < 35:
                     continue
-                parents.append(int(parts[0]) + 1)  # file ids exclude the root
+                # node ids: root = 0, line n creates node n; the parent field
+                # references those ids directly
+                parents.append(int(parts[0]))
                 is_leaf.append(bool(int(parts[1])))
                 descs.append(np.asarray(parts[2:34], np.uint32).astype(np.uint8))
                 weights.append(float(parts[34]))
