@@ -31,12 +31,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from vista_slam_tpu.models.sta import STAConfig, init_params
+    from vista_slam_tpu.models.sta import STAConfig, init_params_host
     from vista_slam_tpu.slam.frontend import FrontendEngine
 
     log(f"devices: {jax.devices()}")
     cfg = STAConfig(compute_dtype=jnp.bfloat16)
-    model, params = init_params(cfg, seed=0)
+    t0 = time.time()
+    model, params = init_params_host(cfg, seed=0)
+    params = jax.device_put(params)
+    log(f"params ready in {time.time() - t0:.1f}s")
     engine = FrontendEngine(cfg, params)
 
     batch = 8  # matches the SLAM pair-batch bucket

@@ -319,5 +319,26 @@ def init_params(cfg: STAConfig, seed: int = 0):
     return model, params
 
 
+def init_params_host(cfg: STAConfig, seed: int = 0, scale: float = 0.02):
+    """Fast host-side random init: derive the param tree structure via
+    eval_shape (no device compile) and fill with small numpy gaussians.
+    For benchmarks/smoke tests where weight values don't matter."""
+    import numpy as np
+
+    model = STA(cfg)
+    h, w = cfg.img_size
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(seed), dummy, dummy))
+    rng = np.random.default_rng(seed)
+
+    def fill(leaf):
+        arr = (rng.standard_normal(leaf.shape) * scale).astype(np.float32)
+        return jnp.asarray(arr)
+
+    params = jax.tree_util.tree_map(fill, shapes)
+    return model, params
+
+
 def param_count(params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
