@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Stage-level timing of the STA frontend on the current accelerator:
+decoder-only vs heads vs host transfer, fp32 vs bf16 heads, batch scaling.
+
+Usage: python scripts/profile_frontend.py [--batch 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(fn, iters=10, warmup=2):
+    for _ in range(warmup):
+        fn()
+    t0 = time.time()
+    for _ in range(iters):
+        fn()
+    return (time.time() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vista_slam_tpu.models.sta import STA, STAConfig, init_params_host
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    print(f"devices: {jax.devices()}")
+    cfg = STAConfig(compute_dtype=jnp.bfloat16)
+    model, params = init_params_host(cfg)
+    params = jax.device_put(params)
+
+    rng = np.random.default_rng(0)
+    B = args.batch
+    f1 = jnp.asarray(rng.standard_normal((B, cfg.num_patches, cfg.enc_dim)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((B, cfg.num_patches, cfg.enc_dim)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((1,) + cfg.img_size + (3,)), jnp.float32)
+
+    encode = jax.jit(lambda p, x: model.apply(p, x, method=STA.encode))
+    decode_only = jax.jit(lambda p, a, b: model.apply(p, a, b, method=STA.decode_pair))
+    full = jax.jit(lambda p, a, b: model.apply(p, a, b, method=STA.decode_and_heads))
+
+    def block(tree):
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), tree)
+
+    t_enc = timeit(lambda: block(encode(params, img)), args.iters)
+    print(f"encode 1 img:        {t_enc * 1e3:8.1f} ms  ({1 / t_enc:6.1f}/s)")
+
+    t_dec = timeit(lambda: block(decode_only(params, f1, f2)), args.iters)
+    print(f"decode-only B={B}:     {t_dec * 1e3:8.1f} ms  ({B / t_dec:6.1f} pairs/s)")
+
+    t_full = timeit(lambda: block(full(params, f1, f2)), args.iters)
+    print(f"decode+heads B={B}:    {t_full * 1e3:8.1f} ms  ({B / t_full:6.1f} pairs/s)"
+          f"  -> heads cost {1e3 * (t_full - t_dec):.1f} ms")
+
+    out = full(params, f1, f2)
+    t_xfer = timeit(lambda: jax.device_get(out), args.iters)
+    nbytes = sum(np.asarray(v).nbytes for v in jax.device_get(out).values())
+    print(f"device_get outputs:  {t_xfer * 1e3:8.1f} ms  ({nbytes / 1e6:.1f} MB, "
+          f"{nbytes / t_xfer / 1e9:.2f} GB/s)")
+
+    t_e2e = timeit(lambda: jax.device_get(full(params, f1, f2)), args.iters)
+    print(f"end-to-end B={B}:      {t_e2e * 1e3:8.1f} ms  ({B / t_e2e:6.1f} pairs/s)")
+
+    for b2 in (16, 32):
+        fa = jnp.tile(f1, (b2 // B, 1, 1))
+        fb = jnp.tile(f2, (b2 // B, 1, 1))
+        t = timeit(lambda: block(full(params, fa, fb)), max(args.iters // 2, 3))
+        print(f"decode+heads B={b2}:   {t * 1e3:8.1f} ms  ({b2 / t:6.1f} pairs/s)")
+
+
+if __name__ == "__main__":
+    main()

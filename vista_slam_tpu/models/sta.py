@@ -205,14 +205,12 @@ class STA(nn.Module):
         self.head_pose = PoseHead(name="head_pose")
 
     # ------------------------------------------------------------------
-    def _enc_rope(self):
+    def _enc_rope(self, gh: int, gw: int):
         c = self.cfg
-        gh, gw = c.grid
         return rope2d_tables(gh, gw, c.enc_dim // c.enc_heads, c.rope_base, 0)
 
-    def _dec_rope(self):
+    def _dec_rope(self, gh: int, gw: int):
         c = self.cfg
-        gh, gw = c.grid
         return rope2d_tables(gh, gw, c.dec_dim // c.dec_heads, c.rope_base, 1)
 
     def encode(self, img: jnp.ndarray) -> jnp.ndarray:
@@ -224,12 +222,12 @@ class STA(nn.Module):
         x = self.patch_proj(img.astype(c.compute_dtype))
         b, gh, gw, d = x.shape
         x = x.reshape(b, gh * gw, d)
-        rope = self._enc_rope()
+        rope = self._enc_rope(gh, gw)
         for blk in self.enc_blocks:
             x = blk(x, rope)
         return x.astype(jnp.float32)
 
-    def decode_pair(self, f1: jnp.ndarray, f2: jnp.ndarray):
+    def decode_pair(self, f1: jnp.ndarray, f2: jnp.ndarray, grid=None):
         """Run the symmetric decoder on a batch of pairs.
 
         f1, f2: [B, N, enc_dim]. Internally both directions are stacked on
@@ -249,7 +247,8 @@ class STA(nn.Module):
         pose_tok = jnp.broadcast_to(
             self.pose_token.astype(c.compute_dtype), (2 * B, 1, c.dec_dim))
         x = jnp.concatenate([pose_tok, x], axis=1)
-        rope = self._dec_rope()
+        gh, gw = grid if grid is not None else c.grid
+        rope = self._dec_rope(gh, gw)
 
         hook_after = {c.hooks[1] - 1, c.hooks[2] - 1}  # block indices (1-based)
         mids = {}
@@ -261,7 +260,7 @@ class STA(nn.Module):
         final = self.dec_norm(x).astype(jnp.float32)
         return mids[c.hooks[1] - 1], mids[c.hooks[2] - 1], final
 
-    def pair_heads(self, f1, f2, h6, h9, final):
+    def pair_heads(self, f1, f2, h6, h9, final, grid=None):
         """Apply pointmap + pose heads to both directions of a decoded pair.
 
         Returns a dict of fp32 outputs, leading axis 2B = [dir1; dir2]:
@@ -270,9 +269,10 @@ class STA(nn.Module):
         relative pose; direction 2 the symmetric quantities.
         """
         c = self.cfg
+        gh, gw = grid if grid is not None else c.grid
         enc = jnp.concatenate([f1, f2], axis=0).astype(jnp.float32)
         hooks = [enc, h6[:, 1:], h9[:, 1:], final[:, 1:]]
-        raw = self.head_pts(hooks, c.img_size)
+        raw = self.head_pts(hooks, (gh * c.patch_size, gw * c.patch_size))
         pts3d, conf = postprocess_pts3d(raw, c.conf_offset)
         pose_out = self.head_pose(final[:, 0])
         return {
@@ -282,14 +282,16 @@ class STA(nn.Module):
             "pose_conf": pose_out["conf"],
         }
 
-    def decode_and_heads(self, f1, f2):
-        h6, h9, final = self.decode_pair(f1, f2)
-        return self.pair_heads(f1, f2, h6, h9, final)
+    def decode_and_heads(self, f1, f2, grid=None):
+        h6, h9, final = self.decode_pair(f1, f2, grid)
+        return self.pair_heads(f1, f2, h6, h9, final, grid)
 
     def __call__(self, img1: jnp.ndarray, img2: jnp.ndarray):
+        p = self.cfg.patch_size
+        grid = (img1.shape[1] // p, img1.shape[2] // p)
         f1 = self.encode(img1)
         f2 = self.encode(img2)
-        return self.decode_and_heads(f1, f2)
+        return self.decode_and_heads(f1, f2, grid)
 
     def train_forward(self, main_img: jnp.ndarray, support_imgs: jnp.ndarray):
         """Training forward over one main view and S support views
@@ -309,6 +311,30 @@ class STA(nn.Module):
         f_supp = self.encode(support_imgs.reshape((S * B,) + support_imgs.shape[2:]))
         f_main_tiled = jnp.tile(f_main, (S, 1, 1))           # [S*B,N,C]
         return self.decode_and_heads(f_main_tiled, f_supp)
+
+
+def predict_pair_any_aspect(model: STA, params, img1: jnp.ndarray,
+                            img2: jnp.ndarray):
+    """Landscape-only prediction with portrait handling by transposition.
+
+    Capability of the reference's transpose_to_landscape wrapper +
+    ManyAR patch embedding (reference: utils/misc.py:36-78,
+    sta_model/patch_embed.py:31-68): portrait inputs are spatially
+    transposed into landscape, predicted, and the dense outputs transposed
+    back; batches must share one aspect (the training sampler guarantees
+    this, reference: datasets/base/batched_sampler.py).
+    """
+    h, w = img1.shape[1:3]
+    portrait = h > w
+    if portrait:
+        img1 = jnp.swapaxes(img1, 1, 2)
+        img2 = jnp.swapaxes(img2, 1, 2)
+    out = model.apply(params, img1, img2)
+    if portrait:
+        out = dict(out)
+        out["pts3d"] = jnp.swapaxes(out["pts3d"], 1, 2)
+        out["conf"] = jnp.swapaxes(out["conf"], 1, 2)
+    return out
 
 
 def init_params(cfg: STAConfig, seed: int = 0):

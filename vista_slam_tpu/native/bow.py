@@ -24,11 +24,12 @@ import numpy as np
 
 _POPCOUNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.uint16)
 
-# optional C++ acceleration
+# optional C++ acceleration (built on first import; falls back to numpy)
 try:
-    from .bow_native import descend_native  # type: ignore
+    from .bow_native import descend_native, l1_score_native  # type: ignore
 except Exception:  # pragma: no cover
     descend_native = None
+    l1_score_native = None
 
 
 def hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -116,6 +117,8 @@ class Vocabulary:
         return BowVector(ids.astype(np.int32), (vals / total).astype(np.float32))
 
     def score(self, a: BowVector, b: BowVector) -> float:
+        if l1_score_native is not None:
+            return l1_score_native(a, b)
         return l1_score(a, b)
 
     # -- construction ---------------------------------------------------

@@ -213,6 +213,31 @@ class OnlineSLAM:
         return {"pose": pose, "depth": depth, "conf": conf, "intri": intri,
                 "scale": scale}
 
+    def get_pointmap_vis(self, v: int):
+        """Color-coded local pointmap of view v (reference: slam.py:423-432).
+        Returns (uint8 HWx3 visualization, pointcloud [H,W,3])."""
+        from ..utils.pointcloud import unproject_views
+
+        view = self.get_view(v, filter_outlier=False)
+        pcl = unproject_views(view["depth"][None], view["intri"][None],
+                              np.eye(4, dtype=np.float32)[None])[0]
+        lo = pcl.min(axis=(0, 1), keepdims=True)
+        hi = pcl.max(axis=(0, 1), keepdims=True)
+        img = ((pcl - lo) / (hi - lo + 1e-8) * 255).astype(np.uint8)
+        return img, pcl
+
+    def save_pointmap(self, v: int, output_folder: str):
+        os.makedirs(output_folder, exist_ok=True)
+        img, pcl = self.get_pointmap_vis(v)
+        np.save(os.path.join(output_folder, f"pointmap_cam_{v}.npy"), pcl)
+        try:
+            import cv2
+
+            cv2.imwrite(os.path.join(output_folder, f"pointmap_cam_{v}.png"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        except ImportError:
+            pass
+
     def get_view_graph(self) -> dict[int, list[int]]:
         g = self.graph
         return {

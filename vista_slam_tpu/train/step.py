@@ -29,19 +29,41 @@ class TrainState(NamedTuple):
 
 def make_optimizer(lr: float = 1e-4, warmup_steps: int = 1000,
                    total_steps: int = 100_000, min_lr: float = 1e-6,
-                   weight_decay: float = 0.05, clip: float = 1.0):
+                   weight_decay: float = 0.05, clip: float = 1.0,
+                   accum_iter: int = 1, freeze=None):
     """AdamW(betas=0.9/0.95) + per-iteration cosine schedule with warmup +
     global-norm clip (reference: train.py:403-404, croco_misc.py:454-469,
-    clip at train.py:293)."""
+    clip at train.py:293). ``accum_iter`` enables gradient accumulation
+    (reference: train.py:142-143,292-297); ``freeze`` is an optional
+    predicate(path_names) -> bool marking frozen parameters (reference
+    set_freeze, sta_model.py:148-161)."""
     warmup_steps = min(warmup_steps, max(total_steps // 10, 1))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=lr, warmup_steps=warmup_steps,
         decay_steps=total_steps, end_value=min_lr)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(clip),
         optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=weight_decay,
                     mask=lambda p: jax.tree_util.tree_map(lambda x: x.ndim > 1, p)),
     )
+    if freeze is not None:
+        def label(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "frozen" if freeze(
+                    tuple(getattr(p, "key", str(p)) for p in path)) else "train",
+                params)
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label)
+    if accum_iter > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_iter)
+    return tx
+
+
+def freeze_encoder(path: tuple[str, ...]) -> bool:
+    """Freeze predicate matching the reference's freeze='encoder'
+    (patch embed + encoder blocks, sta_model.py:150-152)."""
+    return any(n.startswith(("enc_block", "patch_embed")) for n in path)
 
 
 def split_train_outputs(out: dict, n_support: int, batch: int):
