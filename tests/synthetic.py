@@ -68,8 +68,8 @@ class SyntheticFrontend:
     def decode_pairs(self, feats_i, feats_j):
         n = len(feats_i)
         out = {k: [] for k in ["pose_ij", "pose_conf_ij", "pose_ji", "pose_conf_ji",
-                               "depth_i", "depth_j", "conf_i", "conf_j",
                                "mean_conf_i", "mean_conf_j", "K"]}
+        depths_i, depths_j, confs = [], [], []
         for a, b in zip(feats_i, feats_j):
             i, j = int(a[0, 0]), int(b[0, 0])
             rho = float(self.rng.uniform(*self.pair_scale_range))
@@ -79,21 +79,23 @@ class SyntheticFrontend:
             if self.noise:
                 d = self.noise * self.rng.standard_normal(3)
                 rel[:3, 3] += d * rho
-            di = self._view_depth(i) * rho
-            dj = self._view_depth(j) * rho
-            conf = np.full((self.h, self.w), 10.0, np.float32)
+            depths_i.append(self._view_depth(i) * rho)
+            depths_j.append(self._view_depth(j) * rho)
+            confs.append(np.full((self.h, self.w), 10.0, np.float32))
             out["pose_ij"].append(rel.astype(np.float32))
             out["pose_conf_ij"].append(self.pose_conf)
             out["pose_ji"].append(np.linalg.inv(rel).astype(np.float32))
             out["pose_conf_ji"].append(self.pose_conf)
-            out["depth_i"].append(di)
-            out["depth_j"].append(dj)
-            out["conf_i"].append(conf)
-            out["conf_j"].append(conf)
             out["mean_conf_i"].append(10.0)
             out["mean_conf_j"].append(10.0)
             out["K"].append(self.K)
-        return {k: np.asarray(v) for k, v in out.items()}
+        result = {k: np.asarray(v) for k, v in out.items()}
+        # device-layout contract of FrontendEngine.decode_pairs:
+        # rows [0, n) = direction i, rows [bucket, bucket + n) = direction j
+        result["bucket"] = n
+        result["depth_dev"] = np.stack(depths_i + depths_j)
+        result["conf_dev"] = np.stack(confs + confs)
+        return result
 
 
 def umeyama_ate(est_poses, gt_poses):

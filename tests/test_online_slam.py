@@ -32,7 +32,8 @@ def test_pair_scales_are_recovered():
     g = slam.graph
     for v in range(slam.view_num):
         nodes = g.view_to_nodes[v]
-        scaled = [g.pcl[n][0].mean() * g.node_poses[n][7] for n in nodes]
+        scaled = [float(slam.pointmaps.fetch(n)[0].mean()) * g.node_poses[n][7]
+                  for n in nodes]
         assert np.std(scaled) / np.mean(scaled) < 2e-2, f"view {v}: {scaled}"
 
 

@@ -20,6 +20,7 @@ import time
 import numpy as np
 
 from ..datasets import SLAMImagesOnly
+from ..utils import rerun_vis
 from ..utils.config import load_config
 from ..utils.logging import Channel, log
 from .common import build_slam, select_stride_indices
@@ -54,6 +55,9 @@ def run_sequence(slam, dataset, cfg, progress: bool = True):
         value = {"rgb": data["rgb"], "gray": data.get("gray"),
                  "view_name": data.get("img_name", f"frame_{t}")}
         is_optimized = slam.step(value, force_pgo=(t == n - 1))
+        if cfg.get("rerun_vis") or cfg.get("rerun_save"):
+            rerun_vis.set_time(t)
+            rerun_vis.log_slam_views(slam, show_all=is_optimized)
 
         if first:
             first = False
@@ -90,11 +94,16 @@ def main(argv=None):
     parser.add_argument("--images", required=True,
                         help="glob of input images, e.g. '/data/seq/*.png'")
     parser.add_argument("--output", default=None)
+    parser.add_argument("--vis", action="store_true",
+                        help="stream live visualization via rerun")
+    parser.add_argument("--vis-save", action="store_true",
+                        help="save a rerun recording next to the outputs")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config, output_dir=args.output,
-                      verbose=args.verbose or None)
+                      verbose=args.verbose or None,
+                      rerun_vis=args.vis or None, rerun_save=args.vis_save or None)
     np.random.seed(int(cfg.random_seed))
     os.makedirs(cfg.output_dir, exist_ok=True)
 
@@ -105,6 +114,11 @@ def main(argv=None):
     log(f"{len(dataset)} frames")
 
     slam = build_slam(cfg)
+    if cfg.get("rerun_vis") or cfg.get("rerun_save"):
+        rerun_vis.init("slam",
+                       save_path=(os.path.join(cfg.output_dir, "recording.rrd")
+                                  if cfg.get("rerun_save") else None),
+                       url=cfg.get("rerun_url"))
     read_time = run_sequence(slam, dataset, cfg)
 
     log(f"total keyframes detected: {slam.view_num}")
@@ -115,6 +129,7 @@ def main(argv=None):
     if cfg.verbose:
         log(f"stage timing: { {k: round(v, 2) for k, v in td.items()} }")
 
+    rerun_vis.disconnect()
     log(f"saving artifacts to {cfg.output_dir} ...")
     slam.save_data_all(cfg.output_dir)
     log("done.")

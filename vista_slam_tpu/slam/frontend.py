@@ -66,19 +66,22 @@ class FrontendEngine:
                 return estimate_intrinsics_shared(pts, cf)
 
             K = jax.vmap(per_pair_K)(pts_i, pts_j, conf_i, conf_j)
-            return {
+            host = {
                 "pose_ij": out["pose"][:B],
                 "pose_conf_ij": out["pose_conf"][:B],
                 "pose_ji": out["pose"][B:],
                 "pose_conf_ji": out["pose_conf"][B:],
-                "depth_i": pts_i[..., 2],
-                "depth_j": pts_j[..., 2],
-                "conf_i": conf_i,
-                "conf_j": conf_j,
                 "mean_conf_i": conf_i.mean(axis=(1, 2)),
                 "mean_conf_j": conf_j.mean(axis=(1, 2)),
                 "K": K,
             }
+            # dense maps stay ON DEVICE (fp16) — the pointmap store consumes
+            # them without a host round trip; layout [dir-i rows; dir-j rows]
+            dense = {
+                "depth": out["pts3d"][..., 2].astype(jnp.float16),
+                "conf": out["conf"].astype(jnp.float16),
+            }
+            return host, dense
 
         self._encode = jax.jit(encode_fn)
         self._decode = jax.jit(decode_fn)
@@ -97,8 +100,13 @@ class FrontendEngine:
         return feat
 
     def decode_pairs(self, feats_i: list[jax.Array], feats_j: list[jax.Array]) -> dict:
-        """Decode len(feats_i) pairs in one bucketed forward; returns numpy
-        outputs trimmed back to the true pair count."""
+        """Decode len(feats_i) pairs in one bucketed forward.
+
+        Returns a dict of HOST numpy outputs (poses, confidences,
+        intrinsics — a few KB) trimmed to the true pair count, plus device
+        arrays 'depth_dev'/'conf_dev' of shape [2*bucket, H, W] (row k =
+        direction i of pair k, row bucket+k = direction j) and 'bucket'.
+        """
         n = len(feats_i)
         assert n >= 1
         t0 = time.time()
@@ -106,10 +114,14 @@ class FrontendEngine:
         pad = b - n
         f1 = jnp.concatenate(feats_i + [feats_i[-1]] * pad, axis=0).astype(jnp.float32)
         f2 = jnp.concatenate(feats_j + [feats_j[-1]] * pad, axis=0).astype(jnp.float32)
-        out = self._decode(self.params, f1, f2)
-        out = jax.device_get(out)
+        host, dense = self._decode(self.params, f1, f2)
+        host = jax.device_get(host)
+        out = {k: v[:n] for k, v in host.items()}
+        out["depth_dev"] = dense["depth"]
+        out["conf_dev"] = dense["conf"]
+        out["bucket"] = b
         self.time_decode += time.time() - t0
-        return {k: v[:n] for k, v in out.items()}
+        return out
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -14,7 +14,6 @@ import time
 
 import numpy as np
 
-from ..utils.geometry import estimate_scale_np
 from ..utils.logging import Channel, log
 from . import host_math as hm
 from .flow_tracker import FlowTracker
@@ -49,7 +48,7 @@ class OnlineSLAM:
         self.graph = PoseGraph(max_nodes, max_edges)
 
         self.flow_tracker = FlowTracker(flow_thres)
-        self._pgo_fn = None  # lazily built jitted PGO closure
+        self.pointmaps = None  # device store, created at first decode
 
         self.enc_feats: list = []
         self.imgs: list[np.ndarray] = []       # HWC float32 in [-1, 1]
@@ -63,6 +62,8 @@ class OnlineSLAM:
     # ------------------------------------------------------------------
     def reset(self):
         self.graph.reset()
+        if self.pointmaps is not None:
+            self.pointmaps.reset()
         self.flow_tracker.reset()
         if self.lc_detector is not None:
             self.lc_detector.reset()
@@ -99,8 +100,7 @@ class OnlineSLAM:
         if njs:
             outs = self.frontend.decode_pairs(
                 [self.enc_feats[i]] * len(njs), [self.enc_feats[j] for j in njs])
-            for idx, j in enumerate(njs):
-                self._process_edge(i, j, outs, idx)
+            self._process_edge_batch(i, njs, outs)
         t_neighbor = time.time() - t0
 
         # --- loop closure -------------------------------------------------
@@ -115,8 +115,7 @@ class OnlineSLAM:
         if loop_js:
             outs = self.frontend.decode_pairs(
                 [self.enc_feats[i]] * len(loop_js), [self.enc_feats[j] for j in loop_js])
-            for idx, j in enumerate(loop_js):
-                self._process_edge(i, j, outs, idx)
+            self._process_edge_batch(i, loop_js, outs)
         self.time_dict["graph_construction"] += t_neighbor + (time.time() - t0)
 
         # --- windowed PGO ---------------------------------------------------
@@ -128,53 +127,90 @@ class OnlineSLAM:
         return False
 
     # ------------------------------------------------------------------
-    def _process_edge(self, i: int, j: int, outs: dict, idx: int) -> bool:
-        """Insert the regressed two-view constraint (i, j) into the graph
-        (reference semantics: slam.py:153-241)."""
-        assert i > j
-        pose_conf = float(outs["pose_conf_ij"][idx])
-        if pose_conf < self.rel_pose_thres and i - j != 1:
-            if self.verbose:
-                log(f"rejecting edge ({i} -- {j}) with conf {pose_conf:.3f}",
-                    Channel.EDGE_REJECT)
-            return False
-        if i - j > self.neighbor_edge_num:
-            if self.verbose:
-                log(f"adding loop edge ({i} -- {j}) with conf {pose_conf:.3f}",
-                    Channel.LOOP_CLOSURE)
-            self.loop_related_views.add(i)
-            self.loop_related_views.add(j)
+    def _store(self, hw) -> "DevicePointmapStore":
+        if getattr(self, "pointmaps", None) is None:
+            from .pointmap_store import DevicePointmapStore
 
-        se3_ij = hm.from_matrix(np.asarray(outs["pose_ij"][idx], np.float64), 1.0)
-        K = np.asarray(outs["K"][idx], np.float32)
+            self.pointmaps = DevicePointmapStore(self.graph.max_nodes, tuple(hw))
+        return self.pointmaps
+
+    def _process_edge_batch(self, i: int, js: list[int], outs: dict):
+        """Insert a batch of regressed two-view constraints (i, j) into the
+        graph (reference semantics per edge: slam.py:153-241).
+
+        Two device phases wrap the host bookkeeping: (1) one scatter writes
+        all accepted pointmaps into the HBM store, (2) one reduction
+        computes every same-view relative scale; graph updates then replay
+        in the reference's sequential order using only scalars.
+        """
         g = self.graph
+        b = outs["bucket"]
+        accepted = []  # (idx, j, n_i, n_j)
+        rows, node_idxs, intris = [], [], []
+        for idx, j in enumerate(js):
+            assert i > j
+            pose_conf = float(outs["pose_conf_ij"][idx])
+            if pose_conf < self.rel_pose_thres and i - j != 1:
+                if self.verbose:
+                    log(f"rejecting edge ({i} -- {j}) with conf {pose_conf:.3f}",
+                        Channel.EDGE_REJECT)
+                continue
+            if i - j > self.neighbor_edge_num:
+                if self.verbose:
+                    log(f"adding loop edge ({i} -- {j}) with conf {pose_conf:.3f}",
+                        Channel.LOOP_CLOSURE)
+                self.loop_related_views.add(i)
+                self.loop_related_views.add(j)
+            n_i = g.add_node(i, float(outs["mean_conf_i"][idx]), j)
+            n_j = g.add_node(j, float(outs["mean_conf_j"][idx]), i)
+            accepted.append((idx, j, n_i, n_j))
+            K = np.asarray(outs["K"][idx], np.float32)
+            rows += [idx, b + idx]
+            node_idxs += [n_i, n_j]
+            intris += [K, K]
+        if not accepted:
+            return
 
-        node_of = {}
-        view_i_is_new = True
-        for v, depth, conf, other in (
-            (i, np.asarray(outs["depth_i"][idx]), np.asarray(outs["conf_i"][idx]), j),
-            (j, np.asarray(outs["depth_j"][idx]), np.asarray(outs["conf_j"][idx]), i),
-        ):
-            n = g.add_node(v, depth, conf, K, other)
-            node_of[v] = n
-            siblings = g.view_to_nodes[v]
-            if len(siblings) > 1:
-                if v == i:
-                    view_i_is_new = False
-                first = siblings[0]
-                d0, c0, _ = g.pcl[first]
-                s = estimate_scale_np(depth, d0, conf, c0)
-                scale_conf = float(np.sqrt(conf.astype(np.float64) * c0).mean())
+        # phase 1: one scatter of all new pointmaps into the device store
+        depth_dev = outs["depth_dev"]
+        conf_dev = outs["conf_dev"]
+        store = self._store(depth_dev.shape[1:])
+        store.write_batch(node_idxs, depth_dev[np.asarray(rows)],
+                          conf_dev[np.asarray(rows)], intris)
+
+        # phase 2: batched same-view scale estimation (new node vs the
+        # view's first node), scalars back to host
+        scale_jobs = []  # (n, first)
+        for _, j, n_i, n_j in accepted:
+            for v, n in ((i, n_i), (j, n_j)):
+                first = g.view_to_nodes[v][0]
+                if first != n:
+                    scale_jobs.append((n, first))
+        scales = {}
+        if scale_jobs:
+            s_arr, c_arr = store.scales_batch([a for a, _ in scale_jobs],
+                                              [f for _, f in scale_jobs])
+            scales = {n: (float(s), float(c))
+                      for (n, _), s, c in zip(scale_jobs, s_arr, c_arr)}
+
+        # replay graph updates in the reference's per-edge order
+        for idx, j, n_i, n_j in accepted:
+            pose_conf = float(outs["pose_conf_ij"][idx])
+            se3_ij = hm.from_matrix(np.asarray(outs["pose_ij"][idx], np.float64), 1.0)
+            view_i_is_new = g.view_to_nodes[i][0] == n_i
+            for v, n in ((i, n_i), (j, n_j)):
+                first = g.view_to_nodes[v][0]
+                if first == n:
+                    continue
+                s, scale_conf = scales[n]
                 z = hm.identity()
                 z[7] = s
                 weight = np.asarray([ID_POSE_CONF] * 6 + [scale_conf], np.float32)
                 g.add_edge(n, first, z, weight)
                 g.node_poses[n] = hm.mul(g.node_poses[first], z)
-
-        if view_i_is_new:
-            g.node_poses[node_of[i]] = hm.mul(g.node_poses[node_of[j]], se3_ij)
-        g.add_edge(node_of[i], node_of[j], se3_ij, pose_conf)
-        return True
+            if view_i_is_new:
+                g.node_poses[n_i] = hm.mul(g.node_poses[n_j], se3_ij)
+            g.add_edge(n_i, n_j, se3_ij, pose_conf)
 
     # ------------------------------------------------------------------
     def pose_graph_optimize(self):
@@ -206,7 +242,7 @@ class OnlineSLAM:
         node (reference: slam.py:299-326)."""
         n = self.graph.best_node(v)
         pose, scale = self.graph.view_pose_scale(v)
-        depth, conf, intri = self.graph.pcl[n]
+        depth, conf, intri = self.pointmaps.fetch(n)
         depth = depth * scale
         if filter_outlier:
             depth = np.where(conf < self.conf_thres, 0.0, depth)
@@ -273,21 +309,16 @@ class OnlineSLAM:
                      view_graph=np.asarray(self.get_view_graph(), dtype=object),
                      loop_min_dist=0, view_names=np.asarray(self.view_names))
 
-        poses, depths, scales, confs, intris = [], [], [], [], []
+        best = [self.graph.best_node(v) for v in range(self.view_num)]
+        poses, scales = [], []
         for v in range(self.view_num):
-            n = self.graph.best_node(v)
             pose, scale = self.graph.view_pose_scale(v)
-            d, c, k = self.graph.pcl[n]
             poses.append(pose)
-            depths.append(d)
             scales.append([scale])
-            confs.append(c)
-            intris.append(k)
         poses = np.stack(poses)
-        depths = np.stack(depths)
         scales = np.asarray(scales, np.float32)
-        confs = np.stack(confs)
-        intris = np.stack(intris)
+        # one bulk fetch of every exported pointmap from the device store
+        depths, confs, intris = self.pointmaps.fetch_many(best)
         images = (np.stack(self.imgs) + 1.0) / 2.0
 
         sfx = f"_{traj_name_postfix}" if traj_name_postfix is not None else ""

@@ -33,7 +33,6 @@ class PoseGraph:
         self.node_connected_view = np.full(self.max_nodes, -1, np.int32)
         self.view_to_nodes: dict[int, list[int]] = {}
         self.view_best_node: dict[int, tuple[int, float]] = {}
-        self.pcl: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []  # (depth, conf, intri)
         self.num_nodes = 0
 
         self.edges = np.zeros((self.max_edges, 2), np.int32)
@@ -42,18 +41,17 @@ class PoseGraph:
         self.num_edges = 0
 
     # ------------------------------------------------------------------
-    def add_node(self, view_id: int, depth: np.ndarray, conf: np.ndarray,
-                 intri: np.ndarray, connected_view: int) -> int:
+    def add_node(self, view_id: int, mean_conf: float, connected_view: int) -> int:
+        """Register node metadata; the dense pointmap lives in the device
+        store (slam/pointmap_store.py) under the returned index."""
         n = self.num_nodes
         assert n < self.max_nodes, "node buffer full"
-        self.pcl.append((depth, conf, intri))
         self.node_view[n] = view_id
         self.node_connected_view[n] = connected_view
         self.view_to_nodes.setdefault(view_id, []).append(n)
-        mean_conf = float(conf.mean())
         best = self.view_best_node.get(view_id, (-1, -100.0))
         if mean_conf > best[1]:
-            self.view_best_node[view_id] = (n, mean_conf)
+            self.view_best_node[view_id] = (n, float(mean_conf))
         self.num_nodes += 1
         return n
 
