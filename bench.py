@@ -51,15 +51,31 @@ def main():
     f_i = [feats[0]] * batch
     f_j = feats[1:batch + 1]
 
+    from vista_slam_tpu.slam.pointmap_store import DevicePointmapStore
+
+    store = DevicePointmapStore(512, cfg.img_size)
+
+    def keyframe_cycle(base):
+        """The SLAM per-batch hot path: batched pair decode (host scalars) +
+        store scatter + batched scale reduction (reference equivalent:
+        slam.py:153-241 run per-pair serially)."""
+        out = engine.decode_pairs(f_i, f_j)
+        rows = np.concatenate([np.arange(batch), out["bucket"] + np.arange(batch)])
+        idxs = base + np.arange(2 * batch)
+        store.write_batch(idxs, out["depth_dev"][rows], out["conf_dev"][rows],
+                          np.tile(np.eye(3, dtype=np.float32), (2 * batch, 1, 1)))
+        s, c = store.scales_batch(idxs[1:], idxs[:-1])
+        return s
+
     # warmup / compile
     t0 = time.time()
-    engine.decode_pairs(f_i, f_j)
+    keyframe_cycle(0)
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     iters = 10
     t0 = time.time()
-    for _ in range(iters):
-        engine.decode_pairs(f_i, f_j)
+    for k in range(iters):
+        keyframe_cycle(2 * batch * (k % 8))
     dt = time.time() - t0
     pairs_per_sec = batch * iters / dt
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..utils.image_ops import resize_bilinear
@@ -173,9 +174,42 @@ def svd_orthogonalize(m: jnp.ndarray) -> jnp.ndarray:
     return v @ jnp.swapaxes(u, -1, -2)
 
 
+def svd_orthogonalize_stable(m: jnp.ndarray, n_iter: int = 100) -> jnp.ndarray:
+    """SVD-free orthogonal projection via Newton iteration
+    O <- (O + O^-T)/2, with reflection fix — alternative numerics path
+    (reference: heads/pose_head.py:60-70, kept for hardware-specific SVD
+    instabilities)."""
+    m = m.reshape(m.shape[:-1] + (3, 3)) if m.shape[-1] == 9 else m
+    o = m / (jnp.linalg.norm(m, axis=(-2, -1), keepdims=True) + 1e-8)
+
+    def body(_, o):
+        return 0.5 * (o + jnp.linalg.inv(jnp.swapaxes(o, -1, -2)))
+
+    o = jax.lax.fori_loop(0, n_iter, body, o.astype(jnp.float32))
+    det = jnp.linalg.det(o)
+    return o.at[..., :, -1].multiply(jnp.sign(det)[..., None])
+
+
+def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
+    """Zhou et al. 6D -> SO(3) via Gram-Schmidt (reference:
+    heads/pose_head.py:72-92)."""
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-8)
+    b2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-8)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
+
+
 class PoseHead(nn.Module):
-    """Relative-pose regression from the decoder's pose token."""
+    """Relative-pose regression from the decoder's pose token.
+
+    rot_representation: '9D' (SVD orthogonalization, default),
+    '9D_stable' (Newton-iteration projection), or '6D' (Gram-Schmidt)
+    (reference: heads/pose_head.py:7-119).
+    """
     hidden: int = 512
+    rot_representation: str = "9D"
 
     @nn.compact
     def __call__(self, token: jnp.ndarray):
@@ -183,9 +217,14 @@ class PoseHead(nn.Module):
         for i in range(3):
             x = nn.relu(nn.Dense(self.hidden, name=f"mlp{i}")(x))
         t = nn.Dense(3, name="fc_t")(x)
-        r9 = nn.Dense(9, name="fc_rot")(x)
         conf = nn.sigmoid(nn.Dense(1, name="fc_conf")(x))[..., 0]
-        R = svd_orthogonalize(r9)
+        if self.rot_representation == "6D":
+            R = rotation_6d_to_matrix(nn.Dense(6, name="fc_rot")(x))
+        else:
+            r9 = nn.Dense(9, name="fc_rot")(x)
+            R = (svd_orthogonalize_stable(r9)
+                 if self.rot_representation == "9D_stable"
+                 else svd_orthogonalize(r9))
         b = token.shape[0]
         pose = jnp.zeros((b, 4, 4), dtype=jnp.float32)
         pose = pose.at[:, :3, :3].set(R).at[:, :3, 3].set(t).at[:, 3, 3].set(1.0)
