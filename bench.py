@@ -51,31 +51,36 @@ def main():
     f_i = [feats[0]] * batch
     f_j = feats[1:batch + 1]
 
-    from vista_slam_tpu.slam.pointmap_store import DevicePointmapStore
+    # drive the REAL OnlineSLAM edge-batch path (single-sync pipeline:
+    # async decode -> store scatter -> speculative scale reduction -> one
+    # joint fetch -> host graph replay); reference equivalent runs each
+    # pair serially through slam.py:153-241
+    from vista_slam_tpu.slam.online_slam import OnlineSLAM
 
-    store = DevicePointmapStore(512, cfg.img_size)
+    slam = OnlineSLAM(engine, loop_detector=None, max_view_num=64,
+                      neighbor_edge_num=batch, loop_edge_num=0, pgo_every=10 ** 6,
+                      rel_pose_thres=-1.0)
+    slam.enc_feats = feats
+    slam.view_num = len(feats)
 
-    def keyframe_cycle(base):
-        """The SLAM per-batch hot path: batched pair decode (host scalars) +
-        store scatter + batched scale reduction (reference equivalent:
-        slam.py:153-241 run per-pair serially)."""
-        out = engine.decode_pairs(f_i, f_j)
-        rows = np.concatenate([np.arange(batch), out["bucket"] + np.arange(batch)])
-        idxs = base + np.arange(2 * batch)
-        store.write_batch(idxs, out["depth_dev"][rows], out["conf_dev"][rows],
-                          np.tile(np.eye(3, dtype=np.float32), (2 * batch, 1, 1)))
-        s, c = store.scales_batch(idxs[1:], idxs[:-1])
-        return s
+    def keyframe_cycle():
+        i = slam.view_num - 1
+        js = list(range(i - batch, i))
+        outs = engine.decode_pairs([feats[0]] * batch,
+                                   [feats[k + 1] for k in range(batch)],
+                                   fetch=False)
+        slam._process_edge_batch(i, js, outs)
 
     # warmup / compile
     t0 = time.time()
-    keyframe_cycle(0)
+    keyframe_cycle()
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     iters = 10
     t0 = time.time()
-    for k in range(iters):
-        keyframe_cycle(2 * batch * (k % 8))
+    for _ in range(iters):
+        slam.graph.reset()
+        keyframe_cycle()
     dt = time.time() - t0
     pairs_per_sec = batch * iters / dt
 

@@ -65,7 +65,7 @@ class SyntheticFrontend:
     def _view_depth(self, v):
         return (self._base * (1.0 + 0.05 * np.sin(v))).astype(np.float32)
 
-    def decode_pairs(self, feats_i, feats_j):
+    def decode_pairs(self, feats_i, feats_j, fetch=True):
         n = len(feats_i)
         out = {k: [] for k in ["pose_ij", "pose_conf_ij", "pose_ji", "pose_conf_ji",
                                "mean_conf_i", "mean_conf_j", "K"]}

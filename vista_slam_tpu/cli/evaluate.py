@@ -124,10 +124,11 @@ def main(argv=None):
     os.makedirs(cfg.output_dir, exist_ok=True)
     do_recon = args.recon or spec["recon"]
 
+    res = tuple((cfg.get("model", {}) or {}).get("img_size", (224, 224)))
     results = {}
     for scene in scenes:
         path = os.path.join(args.data_root, spec["path"].format(scene=scene))
-        dataset = ds_cls(path, resolution=(224, 224))
+        dataset = ds_cls(path, resolution=res)
         slam = build_slam(cfg)
         out_dir = os.path.join(cfg.output_dir, f"{args.dataset}_{scene}")
         results[scene] = evaluate_scene(slam, dataset, cfg, out_dir, do_recon)

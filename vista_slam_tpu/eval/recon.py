@@ -88,6 +88,8 @@ def eval_recon(gt_depths, gt_poses, gt_intri, est_depths, est_poses, est_intris,
     est_mask = np.asarray(est_masks, bool) & gt_mask
     gt_pts = gt_world[gt_mask].astype(np.float64)
     est_pts = est_world[est_mask].astype(np.float64)
+    gt_pts = gt_pts[np.isfinite(gt_pts).all(-1)]
+    est_pts = est_pts[np.isfinite(est_pts).all(-1)]
 
     est_pts = (rel_s * (np.asarray(rel_R) @ est_pts.T)).T + np.asarray(rel_t).reshape(3)
 

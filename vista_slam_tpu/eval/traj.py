@@ -32,10 +32,11 @@ def umeyama_alignment(x: np.ndarray, y: np.ndarray, with_scale: bool = True):
 
 
 def filter_valid_pairs(traj_est: np.ndarray, traj_ref: np.ndarray):
-    """Drop pairs whose reference pose is NaN/Inf (reference:
-    eval_traj.py:14-21)."""
+    """Drop pairs with NaN/Inf poses. The reference filters only the
+    ground-truth side (eval_traj.py:14-21); non-finite estimates are dropped
+    here too so a degenerate frame cannot abort the whole evaluation."""
     keep = [i for i in range(len(traj_ref))
-            if np.isfinite(traj_ref[i]).all()]
+            if np.isfinite(traj_ref[i]).all() and np.isfinite(traj_est[i]).all()]
     return np.asarray([traj_est[i] for i in keep]), np.asarray(
         [traj_ref[i] for i in keep])
 

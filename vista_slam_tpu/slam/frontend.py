@@ -76,10 +76,13 @@ class FrontendEngine:
                 "K": K,
             }
             # dense maps stay ON DEVICE (fp16) — the pointmap store consumes
-            # them without a host round trip; layout [dir-i rows; dir-j rows]
+            # them without a host round trip; layout [dir-i rows; dir-j rows].
+            # clip to the fp16 range: the exp depth/conf heads are unbounded
+            # and un-/under-trained weights can otherwise produce inf
+            f16_max = 6.0e4
             dense = {
-                "depth": out["pts3d"][..., 2].astype(jnp.float16),
-                "conf": out["conf"].astype(jnp.float16),
+                "depth": jnp.clip(out["pts3d"][..., 2], -f16_max, f16_max).astype(jnp.float16),
+                "conf": jnp.clip(out["conf"], 0.0, f16_max).astype(jnp.float16),
             }
             return host, dense
 
@@ -99,13 +102,18 @@ class FrontendEngine:
         self.time_encode += time.time() - t0
         return feat
 
-    def decode_pairs(self, feats_i: list[jax.Array], feats_j: list[jax.Array]) -> dict:
+    def decode_pairs(self, feats_i: list[jax.Array], feats_j: list[jax.Array],
+                     fetch: bool = True) -> dict:
         """Decode len(feats_i) pairs in one bucketed forward.
 
-        Returns a dict of HOST numpy outputs (poses, confidences,
-        intrinsics — a few KB) trimmed to the true pair count, plus device
-        arrays 'depth_dev'/'conf_dev' of shape [2*bucket, H, W] (row k =
-        direction i of pair k, row bucket+k = direction j) and 'bucket'.
+        Returns a dict of small per-pair outputs (poses, confidences,
+        intrinsics) trimmed to the true pair count, plus device arrays
+        'depth_dev'/'conf_dev' of shape [2*bucket, H, W] (row k = direction
+        i of pair k, row bucket+k = direction j) and 'bucket'.
+
+        With fetch=False the small outputs stay ON DEVICE and the call
+        returns without synchronizing — the SLAM loop dispatches the store
+        scatter + scale reduction behind it and performs ONE joint fetch.
         """
         n = len(feats_i)
         assert n >= 1
@@ -115,7 +123,8 @@ class FrontendEngine:
         f1 = jnp.concatenate(feats_i + [feats_i[-1]] * pad, axis=0).astype(jnp.float32)
         f2 = jnp.concatenate(feats_j + [feats_j[-1]] * pad, axis=0).astype(jnp.float32)
         host, dense = self._decode(self.params, f1, f2)
-        host = jax.device_get(host)
+        if fetch:
+            host = jax.device_get(host)
         out = {k: v[:n] for k, v in host.items()}
         out["depth_dev"] = dense["depth"]
         out["conf_dev"] = dense["conf"]

@@ -39,9 +39,11 @@ class OnlineSLAM:
         self.live_mode = live_mode
         self.image_resolution = image_resolution
 
-        # buffer sizing identical to the reference (slam.py:33-36)
+        # edge sizing identical to the reference (slam.py:33-36); the node
+        # buffer gets headroom because speculative batch assignment leaves
+        # gap slots for rejected edges (see _process_edge_batch)
         per_view = 2 * neighbor_edge_num + loop_edge_num
-        max_nodes = max_view_num * per_view
+        max_nodes = max_view_num * 2 * (neighbor_edge_num + loop_edge_num)
         scale_edges = per_view - 1
         pose_edges = per_view // 2 + 1
         max_edges = max_view_num * (scale_edges + pose_edges)
@@ -99,7 +101,8 @@ class OnlineSLAM:
         njs = list(range(farthest, i))
         if njs:
             outs = self.frontend.decode_pairs(
-                [self.enc_feats[i]] * len(njs), [self.enc_feats[j] for j in njs])
+                [self.enc_feats[i]] * len(njs),
+                [self.enc_feats[j] for j in njs], fetch=False)
             self._process_edge_batch(i, njs, outs)
         t_neighbor = time.time() - t0
 
@@ -114,7 +117,8 @@ class OnlineSLAM:
         loop_js = [j for j, _ in loop_cands[: self.loop_edge_num]]
         if loop_js:
             outs = self.frontend.decode_pairs(
-                [self.enc_feats[i]] * len(loop_js), [self.enc_feats[j] for j in loop_js])
+                [self.enc_feats[i]] * len(loop_js),
+                [self.enc_feats[j] for j in loop_js], fetch=False)
             self._process_edge_batch(i, loop_js, outs)
         self.time_dict["graph_construction"] += t_neighbor + (time.time() - t0)
 
@@ -138,18 +142,61 @@ class OnlineSLAM:
         """Insert a batch of regressed two-view constraints (i, j) into the
         graph (reference semantics per edge: slam.py:153-241).
 
-        Two device phases wrap the host bookkeeping: (1) one scatter writes
-        all accepted pointmaps into the HBM store, (2) one reduction
-        computes every same-view relative scale; graph updates then replay
-        in the reference's sequential order using only scalars.
+        Single-sync pipeline: node indices are assigned SPECULATIVELY
+        (pair k -> base+2k, base+2k+1; rejected pairs leave gaps, which the
+        optimizer ignores), so the pointmap scatter and every possibly-
+        needed same-view scale reduction are dispatched behind the decode
+        without waiting for its outputs; one joint fetch then drives the
+        host-side graph replay in the reference's sequential order.
         """
         g = self.graph
         b = outs["bucket"]
-        accepted = []  # (idx, j, n_i, n_j)
-        rows, node_idxs, intris = [], [], []
-        for idx, j in enumerate(js):
+        B = len(js)
+        base = g.num_nodes
+        spec_ni = [base + 2 * k for k in range(B)]
+        spec_nj = [base + 2 * k + 1 for k in range(B)]
+
+        # phase 1 (async): scatter ALL candidate pointmaps into the store
+        depth_dev = outs["depth_dev"]
+        conf_dev = outs["conf_dev"]
+        store = self._store(depth_dev.shape[1:])
+        rows = np.asarray([r for k in range(B) for r in (k, b + k)])
+        node_idxs = [n for k in range(B) for n in (spec_ni[k], spec_nj[k])]
+        store.write_batch(node_idxs, depth_dev[rows], conf_dev[rows])
+
+        # phase 2 (async): speculative scale jobs — every (new node, possible
+        # first node) combination that the replay below might need
+        prior_first_i = (g.view_to_nodes.get(i) or [None])[0]
+        jobs: list[tuple[int, int]] = []
+        for k in range(B):
+            if prior_first_i is not None:
+                jobs.append((spec_ni[k], prior_first_i))
+            else:
+                jobs += [(spec_ni[k], spec_ni[m]) for m in range(k)]
+            fj = (g.view_to_nodes.get(js[k]) or [None])[0]
+            if fj is not None:
+                jobs.append((spec_nj[k], fj))
+        sc_dev = (store.scales_batch_async([a for a, _ in jobs],
+                                           [f for _, f in jobs])
+                  if jobs else None)
+
+        # ONE synchronization: small decode outputs + speculative scales
+        import jax
+
+        host_keys = ["pose_ij", "pose_conf_ij", "pose_ji", "pose_conf_ji",
+                     "mean_conf_i", "mean_conf_j", "K"]
+        fetched = jax.device_get(({k: outs[k] for k in host_keys}, sc_dev))
+        host, sc = fetched
+        scale_of = {}
+        if sc is not None:
+            for (n, f), s, c in zip(jobs, sc[0], sc[1]):
+                scale_of[(n, f)] = (float(s), float(c))
+
+        # host replay in the reference's per-edge order
+        first_accepted_ni = prior_first_i
+        for k, j in enumerate(js):
             assert i > j
-            pose_conf = float(outs["pose_conf_ij"][idx])
+            pose_conf = float(host["pose_conf_ij"][k])
             if pose_conf < self.rel_pose_thres and i - j != 1:
                 if self.verbose:
                     log(f"rejecting edge ({i} -- {j}) with conf {pose_conf:.3f}",
@@ -161,54 +208,27 @@ class OnlineSLAM:
                         Channel.LOOP_CLOSURE)
                 self.loop_related_views.add(i)
                 self.loop_related_views.add(j)
-            n_i = g.add_node(i, float(outs["mean_conf_i"][idx]), j)
-            n_j = g.add_node(j, float(outs["mean_conf_j"][idx]), i)
-            accepted.append((idx, j, n_i, n_j))
-            K = np.asarray(outs["K"][idx], np.float32)
-            rows += [idx, b + idx]
-            node_idxs += [n_i, n_j]
-            intris += [K, K]
-        if not accepted:
-            return
 
-        # phase 1: one scatter of all new pointmaps into the device store
-        depth_dev = outs["depth_dev"]
-        conf_dev = outs["conf_dev"]
-        store = self._store(depth_dev.shape[1:])
-        store.write_batch(node_idxs, depth_dev[np.asarray(rows)],
-                          conf_dev[np.asarray(rows)], intris)
+            n_i, n_j = spec_ni[k], spec_nj[k]
+            K = np.asarray(host["K"][k], np.float32)
+            g.add_node_at(n_i, i, float(host["mean_conf_i"][k]), j)
+            g.add_node_at(n_j, j, float(host["mean_conf_j"][k]), i)
+            store.set_intri([n_i, n_j], [K, K])
 
-        # phase 2: batched same-view scale estimation (new node vs the
-        # view's first node), scalars back to host
-        scale_jobs = []  # (n, first)
-        for _, j, n_i, n_j in accepted:
-            for v, n in ((i, n_i), (j, n_j)):
-                first = g.view_to_nodes[v][0]
-                if first != n:
-                    scale_jobs.append((n, first))
-        scales = {}
-        if scale_jobs:
-            s_arr, c_arr = store.scales_batch([a for a, _ in scale_jobs],
-                                              [f for _, f in scale_jobs])
-            scales = {n: (float(s), float(c))
-                      for (n, _), s, c in zip(scale_jobs, s_arr, c_arr)}
-
-        # replay graph updates in the reference's per-edge order
-        for idx, j, n_i, n_j in accepted:
-            pose_conf = float(outs["pose_conf_ij"][idx])
-            se3_ij = hm.from_matrix(np.asarray(outs["pose_ij"][idx], np.float64), 1.0)
-            view_i_is_new = g.view_to_nodes[i][0] == n_i
-            for v, n in ((i, n_i), (j, n_j)):
-                first = g.view_to_nodes[v][0]
-                if first == n:
+            se3_ij = hm.from_matrix(np.asarray(host["pose_ij"][k], np.float64), 1.0)
+            view_i_is_new = first_accepted_ni is None
+            for v, n, first in ((i, n_i, first_accepted_ni),
+                                (j, n_j, (g.view_to_nodes[j] or [None])[0])):
+                if first is None or first == n:
                     continue
-                s, scale_conf = scales[n]
+                s, scale_conf = scale_of[(n, first)]
                 z = hm.identity()
                 z[7] = s
                 weight = np.asarray([ID_POSE_CONF] * 6 + [scale_conf], np.float32)
                 g.add_edge(n, first, z, weight)
                 g.node_poses[n] = hm.mul(g.node_poses[first], z)
-            if view_i_is_new:
+            if first_accepted_ni is None:
+                first_accepted_ni = n_i
                 g.node_poses[n_i] = hm.mul(g.node_poses[n_j], se3_ij)
             g.add_edge(n_i, n_j, se3_ij, pose_conf)
 

@@ -54,19 +54,27 @@ class DevicePointmapStore:
         self.conf = jnp.zeros_like(self.conf)
         self.intri[:] = 0
 
-    def write_batch(self, idxs, depths, confs, intris):
+    def write_batch(self, idxs, depths, confs, intris=None):
         """idxs: [M] node indices; depths/confs [M,H,W] device or host arrays;
-        intris [M,3,3] host."""
+        intris [M,3,3] host (may be set later via set_intri)."""
         idx = jnp.asarray(np.asarray(idxs, np.int32))
         self.depth, self.conf = _write(self.depth, self.conf, idx,
                                        jnp.asarray(depths), jnp.asarray(confs))
+        if intris is not None:
+            self.set_intri(idxs, intris)
+
+    def set_intri(self, idxs, intris):
         self.intri[np.asarray(idxs)] = np.asarray(intris, np.float32)
+
+    def scales_batch_async(self, new_idxs, first_idxs):
+        """Dispatch the batched scale reduction; returns DEVICE (s, conf)."""
+        return _scales(self.depth, self.conf,
+                       jnp.asarray(np.asarray(new_idxs, np.int32)),
+                       jnp.asarray(np.asarray(first_idxs, np.int32)))
 
     def scales_batch(self, new_idxs, first_idxs):
         """Relative scales of node pairs; returns host (s[M], scale_conf[M])."""
-        s, c = _scales(self.depth, self.conf,
-                       jnp.asarray(np.asarray(new_idxs, np.int32)),
-                       jnp.asarray(np.asarray(first_idxs, np.int32)))
+        s, c = self.scales_batch_async(new_idxs, first_idxs)
         return np.asarray(s), np.asarray(c)
 
     def fetch(self, idx: int):

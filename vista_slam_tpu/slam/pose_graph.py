@@ -44,7 +44,13 @@ class PoseGraph:
     def add_node(self, view_id: int, mean_conf: float, connected_view: int) -> int:
         """Register node metadata; the dense pointmap lives in the device
         store (slam/pointmap_store.py) under the returned index."""
-        n = self.num_nodes
+        return self.add_node_at(self.num_nodes, view_id, mean_conf, connected_view)
+
+    def add_node_at(self, n: int, view_id: int, mean_conf: float,
+                    connected_view: int) -> int:
+        """Register a node at a preassigned index. Indices may leave gaps
+        (speculative batch assignment where some edges were rejected); gap
+        slots keep identity poses and never enter the optimization window."""
         assert n < self.max_nodes, "node buffer full"
         self.node_view[n] = view_id
         self.node_connected_view[n] = connected_view
@@ -52,7 +58,7 @@ class PoseGraph:
         best = self.view_best_node.get(view_id, (-1, -100.0))
         if mean_conf > best[1]:
             self.view_best_node[view_id] = (n, float(mean_conf))
-        self.num_nodes += 1
+        self.num_nodes = max(self.num_nodes, n + 1)
         return n
 
     def add_edge(self, i: int, j: int, pose: np.ndarray, conf) -> int:
