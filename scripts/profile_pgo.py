@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Compile + runtime cost of the full-size windowed PGO program on the
+current accelerator (production buffer sizes: 4800 nodes / 5200 edges).
+
+Usage: python scripts/profile_pgo.py [--nodes 4800] [--edges 5200]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vista_slam_tpu.ops import sim3
+    from vista_slam_tpu.slam.pgo import PGOConfig, optimize_pose_graph
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=4800)
+    ap.add_argument("--edges", type=int, default=5200)
+    ap.add_argument("--real", type=int, default=2000,
+                    help="number of real (non-padding) nodes")
+    args = ap.parse_args()
+
+    print(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    n, e, real = args.nodes, args.edges, min(args.real, args.nodes)
+
+    # noisy chain with some loop edges
+    xi = np.zeros((real, 7), np.float32)
+    xi[:, 0] = 0.3
+    xi[:, 5] = 0.05
+    gt = [np.asarray(sim3.identity())]
+    for k in range(1, real):
+        gt.append(np.asarray(sim3.mul(jnp.asarray(gt[-1]), sim3.exp(jnp.asarray(xi[k])))))
+    gt = np.stack(gt)
+
+    edges = []
+    meas = []
+    for k in range(1, real):
+        z = sim3.mul(sim3.inv(jnp.asarray(gt[k - 1])), jnp.asarray(gt[k]))
+        noise = sim3.exp(jnp.asarray(0.05 * rng.standard_normal(7), jnp.float32))
+        meas.append(np.asarray(sim3.mul(z, noise)))
+        edges.append((k, k - 1))
+    for k in range(50, real, 97):  # sparse loop edges
+        z = sim3.mul(sim3.inv(jnp.asarray(gt[k - 50])), jnp.asarray(gt[k]))
+        meas.append(np.asarray(z))
+        edges.append((k, k - 50))
+
+    nodes = np.tile(np.asarray(sim3.identity()), (n, 1))
+    # integrate noisy odometry as the initialization
+    cur = np.asarray(sim3.identity())
+    nodes[0] = cur
+    for k in range(1, real):
+        cur = np.asarray(sim3.mul(jnp.asarray(cur), jnp.asarray(meas[k - 1])))
+        nodes[k] = cur
+
+    E = len(edges)
+    edges_buf = np.zeros((e, 2), np.int32)
+    edges_buf[:E] = edges
+    meas_buf = np.tile(np.asarray(sim3.identity()), (e, 1))
+    meas_buf[:E] = np.stack(meas)
+    confs = np.ones((e, 7), np.float32)
+    valid = np.zeros(e, bool)
+    valid[:E] = True
+    opt = np.zeros(n, bool)
+    opt[1:real] = True
+
+    t0 = time.time()
+    out, info = optimize_pose_graph(
+        jnp.asarray(nodes), jnp.asarray(edges_buf), jnp.asarray(meas_buf),
+        jnp.asarray(confs), jnp.asarray(valid), jnp.asarray(opt),
+        PGOConfig())
+    jax.block_until_ready(out)
+    print(f"compile+first solve: {time.time() - t0:.1f}s  "
+          f"steps={int(info['steps'])} loss {float(info['loss0']):.4g} -> "
+          f"{float(info['loss']):.4g}")
+
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out, info = optimize_pose_graph(
+            jnp.asarray(nodes), jnp.asarray(edges_buf), jnp.asarray(meas_buf),
+            jnp.asarray(confs), jnp.asarray(valid), jnp.asarray(opt),
+            PGOConfig())
+        jax.block_until_ready(out)
+    print(f"steady-state solve: {(time.time() - t0) / reps * 1e3:.0f} ms "
+          f"({n} nodes / {e} edges padded, {real} real)")
+
+
+if __name__ == "__main__":
+    main()

@@ -98,7 +98,8 @@ class FrontendEngine:
         t0 = time.time()
         feat = self._encode(self.params, jnp.asarray(img_np)[None])
         feat = feat.astype(self.cache_dtype)
-        feat.block_until_ready()
+        # no block: the decode that consumes this feature queues behind it
+        # on device, and host work (BoW retrieval) overlaps
         self.time_encode += time.time() - t0
         return feat
 

@@ -95,23 +95,29 @@ class OnlineSLAM:
         self.view_num += 1
         self.time_dict["encoder"] += time.time() - t0
 
-        # --- neighbor edges, one batched decode --------------------------
+        # --- neighbor edges: DISPATCH the batched decode, then run the
+        # host-side BoW retrieval while the device works (the reference is
+        # fully serial here, slam.py:262-277) -----------------------------
         t0 = time.time()
         farthest = max(0, i - self.neighbor_edge_num)
         njs = list(range(farthest, i))
+        outs = None
         if njs:
             outs = self.frontend.decode_pairs(
                 [self.enc_feats[i]] * len(njs),
                 [self.enc_feats[j] for j in njs], fetch=False)
-            self._process_edge_batch(i, njs, outs)
-        t_neighbor = time.time() - t0
+        t_dispatch = time.time() - t0
 
-        # --- loop closure -------------------------------------------------
         t0 = time.time()
         loop_cands: list[tuple[int, float]] = []
         if self.lc_detector is not None and gray is not None:
             loop_cands = self.lc_detector.detect(gray, farthest)
         self.time_dict["lc"] += time.time() - t0
+
+        t0 = time.time()
+        if outs is not None:
+            self._process_edge_batch(i, njs, outs)
+        t_neighbor = t_dispatch + (time.time() - t0)
 
         t0 = time.time()
         loop_js = [j for j, _ in loop_cands[: self.loop_edge_num]]
