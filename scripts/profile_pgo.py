@@ -19,7 +19,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from vista_slam_tpu.ops import sim3
+    from vista_slam_tpu.slam import host_math as hm
     from vista_slam_tpu.slam.pgo import PGOConfig, optimize_pose_graph
 
     ap = argparse.ArgumentParser()
@@ -33,39 +33,42 @@ def main():
     rng = np.random.default_rng(0)
     n, e, real = args.nodes, args.edges, min(args.real, args.nodes)
 
-    # noisy chain with some loop edges
-    xi = np.zeros((real, 7), np.float32)
-    xi[:, 0] = 0.3
-    xi[:, 5] = 0.05
-    gt = [np.asarray(sim3.identity())]
+    # noisy chain with some loop edges (built entirely on host with numpy
+    # Sim(3) math — per-element device ops would pay one dispatch each)
+    def np_exp_small(t, phi_z, sigma=0.0):
+        q = hm.matrix_to_quat(np.asarray(
+            [[np.cos(phi_z), -np.sin(phi_z), 0],
+             [np.sin(phi_z), np.cos(phi_z), 0], [0, 0, 1]], np.float64))
+        return np.concatenate([t, q, [np.exp(sigma)]]).astype(np.float32)
+
+    step = np_exp_small(np.asarray([0.3, 0.0, 0.0]), 0.05)
+    gt = [hm.identity()]
     for k in range(1, real):
-        gt.append(np.asarray(sim3.mul(jnp.asarray(gt[-1]), sim3.exp(jnp.asarray(xi[k])))))
+        gt.append(hm.mul(gt[-1], step))
     gt = np.stack(gt)
 
     edges = []
     meas = []
     for k in range(1, real):
-        z = sim3.mul(sim3.inv(jnp.asarray(gt[k - 1])), jnp.asarray(gt[k]))
-        noise = sim3.exp(jnp.asarray(0.05 * rng.standard_normal(7), jnp.float32))
-        meas.append(np.asarray(sim3.mul(z, noise)))
+        z = hm.mul(hm.inv(gt[k - 1]), gt[k])
+        z[:3] += 0.05 * rng.standard_normal(3).astype(np.float32)
+        meas.append(z)
         edges.append((k, k - 1))
     for k in range(50, real, 97):  # sparse loop edges
-        z = sim3.mul(sim3.inv(jnp.asarray(gt[k - 50])), jnp.asarray(gt[k]))
-        meas.append(np.asarray(z))
+        meas.append(hm.mul(hm.inv(gt[k - 50]), gt[k]))
         edges.append((k, k - 50))
 
-    nodes = np.tile(np.asarray(sim3.identity()), (n, 1))
-    # integrate noisy odometry as the initialization
-    cur = np.asarray(sim3.identity())
+    nodes = np.tile(hm.identity(), (n, 1))
+    cur = hm.identity()
     nodes[0] = cur
     for k in range(1, real):
-        cur = np.asarray(sim3.mul(jnp.asarray(cur), jnp.asarray(meas[k - 1])))
+        cur = hm.mul(cur, meas[k - 1])
         nodes[k] = cur
 
     E = len(edges)
     edges_buf = np.zeros((e, 2), np.int32)
     edges_buf[:E] = edges
-    meas_buf = np.tile(np.asarray(sim3.identity()), (e, 1))
+    meas_buf = np.tile(hm.identity(), (e, 1))
     meas_buf[:E] = np.stack(meas)
     confs = np.ones((e, 7), np.float32)
     valid = np.zeros(e, bool)

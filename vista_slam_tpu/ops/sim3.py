@@ -254,55 +254,86 @@ def from_matrix(m: jnp.ndarray, s: jnp.ndarray | float = 1.0) -> jnp.ndarray:
 # Sim(3) exp/log
 # ---------------------------------------------------------------------------
 
-def _sim3_W_coeffs(theta: jnp.ndarray, sigma: jnp.ndarray):
+def _moment_series(k: int, sigma: jnp.ndarray) -> jnp.ndarray:
+    """Taylor series of M_k(sigma) = int_0^1 u^k e^{sigma u} du =
+    sum_j sigma^j / (j! (k+j+1)), truncated at j=5 (rel. error < 1e-8 for
+    |sigma| < 0.1)."""
+    import math
+
+    out = 0.0
+    for j in reversed(range(6)):
+        out = out * sigma + 1.0 / (math.factorial(j) * (k + j + 1))
+    return out
+
+
+def _sim3_W_coeffs(theta2: jnp.ndarray, sigma: jnp.ndarray):
     """Coefficients (a, b, c) of W = a I + b Omega + c Omega^2 where
     W = integral_0^1 exp(sigma u) R(u theta) du  and t = W tau.
 
-    Closed forms with Taylor guards at sigma -> 0 and theta -> 0. The
-    double-where pattern keeps gradients NaN-free at the switch points.
+    Every closed form here suffers catastrophic fp32 cancellation near the
+    origin — and TPU transcendentals are only ~1 ulp, so e.g. exp(3.7e-6)
+    rounds to exactly 1.0 and the naive (e^s - 1)/s collapses W to a
+    singular matrix. Wide series regions (|sigma|, theta < 0.1) with the
+    moment expansion M_k = int u^k e^{sigma u} du keep everything accurate:
+      a = M0,  b = M1 - t^2/6 M3 + t^4/120 M5,  c = M2/2 - t^2/24 M4 + t^4/720 M6.
+    Outside the series region the trig/exp closed forms are well
+    conditioned. All divisions are where-guarded (grad-safe). The function
+    takes theta^2 (a SMOOTH function of phi) rather than theta, because
+    d|phi|/dphi is NaN at phi = 0 and would poison the series branch's
+    tangents through 0 * NaN.
     """
-    theta2 = theta * theta
     sigma2 = sigma * sigma
     s = jnp.exp(sigma)
 
-    small_sigma = jnp.abs(sigma) < _SMALL
-    small_theta = theta < _SMALL
+    small_s = jnp.abs(sigma) < 0.1
+    small_t = theta2 < 0.01
+    sigma_safe = jnp.where(small_s, 1.0, sigma)
+    theta = jnp.sqrt(jnp.where(small_t, 1.0, theta2))  # trig branch only
+    theta_safe = theta
 
-    sigma_safe = jnp.where(small_sigma, 1.0, sigma)
-    theta_safe = jnp.where(small_theta, 1.0, theta)
+    # ---- a = M0 -----------------------------------------------------------
+    a = jnp.where(small_s, _moment_series(0, sigma),
+                  jnp.expm1(sigma) / sigma_safe)
 
-    # a = (e^sigma - 1)/sigma
-    a = jnp.where(small_sigma, 1.0 + sigma / 2.0 + sigma2 / 6.0, (s - 1.0) / sigma_safe)
+    # ---- exact moments (safe for |sigma| >= 0.1) --------------------------
+    s2, s3 = sigma_safe ** 2, sigma_safe ** 3
+    s4, s5 = s2 * s2, s2 * s3
+    s6, s7 = s3 * s3, s3 * s4
+    M1e = (s * (sigma - 1.0) + 1.0) / s2
+    M2e = (s * (sigma2 - 2.0 * sigma + 2.0) - 2.0) / s3
+    M3e = (s * (s3 - 3.0 * s2 + 6.0 * sigma - 6.0) + 6.0) / s4
+    M4e = (s * (s4 - 4.0 * s3 + 12.0 * s2 - 24.0 * sigma + 24.0) - 24.0) / s5
+    M5e = (s * (s5 - 5.0 * s4 + 20.0 * s3 - 60.0 * s2 + 120.0 * sigma - 120.0)
+           + 120.0) / s6
+    M6e = (s * (s6 - 6.0 * s5 + 30.0 * s4 - 120.0 * s3 + 360.0 * s2
+                - 720.0 * sigma + 720.0) - 720.0) / s7
 
-    denom = sigma2 + theta2
-    denom_safe = jnp.where((small_sigma & small_theta), 1.0, denom)
+    def pick(k, exact):
+        return jnp.where(small_s, _moment_series(k, sigma), exact)
 
-    # I_s = int e^{sigma u} sin(theta u) du;  I_c = int e^{sigma u} cos(theta u) du
-    I_s = (s * (sigma * jnp.sin(theta) - theta * jnp.cos(theta)) + theta) / denom_safe
-    I_c = (s * (sigma * jnp.cos(theta) + theta * jnp.sin(theta)) - sigma) / denom_safe
+    M1, M2, M3 = pick(1, M1e), pick(2, M2e), pick(3, M3e)
+    M4, M5, M6 = pick(4, M4e), pick(5, M5e), pick(6, M6e)
 
-    # b = I_s / theta, guarded by the theta->0 limit: int e^{su} u du
-    b_theta0 = jnp.where(
-        small_sigma,
-        0.5 + sigma / 3.0 + sigma2 / 8.0,
-        (s * (sigma - 1.0) + 1.0) / jnp.where(small_sigma, 1.0, sigma2),
-    )
-    b = jnp.where(small_theta, b_theta0, I_s / theta_safe)
+    # ---- theta-series for b, c (valid for theta < 0.1, any sigma) ---------
+    theta4 = theta2 * theta2
+    b_series = M1 - theta2 / 6.0 * M3 + theta4 / 120.0 * M5
+    c_series = 0.5 * M2 - theta2 / 24.0 * M4 + theta4 / 720.0 * M6
 
-    # c = (a - I_c) / theta^2, guarded by the limit: int e^{su} u^2/2 du
-    c_theta0 = jnp.where(
-        small_sigma,
-        1.0 / 6.0 + sigma / 8.0 + sigma2 / 20.0,
-        (s * (sigma2 - 2.0 * sigma + 2.0) - 2.0) / jnp.where(small_sigma, 1.0, 2.0 * sigma2 * sigma_safe),
-    )
-    theta2_safe = jnp.where(small_theta, 1.0, theta2)
-    c = jnp.where(small_theta, c_theta0, (a - I_c) / theta2_safe)
+    # ---- trig closed forms (well conditioned for theta >= 0.1) ------------
+    denom = jnp.where(small_t, 1.0, sigma2 + theta2)
+    I_s = (s * (sigma * jnp.sin(theta) - theta * jnp.cos(theta)) + theta) / denom
+    I_c = (s * (sigma * jnp.cos(theta) + theta * jnp.sin(theta)) - sigma) / denom
+    b_trig = I_s / theta_safe
+    c_trig = (a - I_c) / jnp.where(small_t, 1.0, theta2)
+
+    b = jnp.where(small_t, b_series, b_trig)
+    c = jnp.where(small_t, c_series, c_trig)
     return a, b, c
 
 
 def _sim3_W(phi: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
-    theta = jnp.linalg.norm(phi, axis=-1)
-    a, b, c = _sim3_W_coeffs(theta, sigma)
+    theta2 = jnp.sum(phi * phi, axis=-1)  # smooth at phi = 0, unlike norm
+    a, b, c = _sim3_W_coeffs(theta2, sigma)
     Om = hat(phi)
     Om2 = Om @ Om
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), Om.shape)

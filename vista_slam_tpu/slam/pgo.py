@@ -44,6 +44,7 @@ class PGOConfig(NamedTuple):
     lambda_down: float = 0.5
     cg_iters: int = 128
     cg_tol: float = 1e-6
+    max_step_norm: float = 1.0  # per-node tangent-space trust region
 
 
 def _edge_residual(xi_i, xi_j, node_i, node_j, edge_pose):
@@ -85,7 +86,20 @@ def optimize_pose_graph(
     opt_mask: jnp.ndarray,    # [N] bool — nodes allowed to move
     cfg: PGOConfig = PGOConfig(),
 ):
-    """Run windowed LM-PGO; returns (new_nodes, info dict)."""
+    """Run windowed LM-PGO; returns (new_nodes, info dict).
+
+    All matmuls run at full fp32 precision: TPU's default reduced-precision
+    matmul corrupts the tiny 7-dim Jacobian/CG products enough to make every
+    Gauss-Newton step get rejected. The arrays involved are small, so
+    HIGHEST costs nothing here.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
+                                         edge_valid, opt_mask, cfg)
+
+
+def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
+                              edge_valid, opt_mask, cfg: PGOConfig):
     N = nodes.shape[0]
     f32 = jnp.float32
     nodes = nodes.astype(f32)
@@ -148,7 +162,10 @@ def optimize_pose_graph(
         def cg_body(state):
             k, xk, rk, zk, pk, rz = state
             Hp = Hv(pk)
-            alpha = rz / jnp.maximum(dot(pk, Hp), 1e-20)
+            pHp = dot(pk, Hp)
+            # zero the step along (numerically) non-positive curvature
+            # directions instead of dividing by ~0
+            alpha = jnp.where(pHp > 1e-20, rz / jnp.maximum(pHp, 1e-20), 0.0)
             xk = xk + alpha * pk
             rk = rk - alpha * Hp
             zk = precond(rk)
@@ -165,6 +182,12 @@ def optimize_pose_graph(
         z0 = precond(b)
         state = (0, x0, b, z0, z0, dot(b, z0))
         _, delta, *_ = jax.lax.while_loop(cg_cond, cg_body, state)
+        # trust region: cap the per-node tangent step so a bad linear solve
+        # cannot launch Exp() into overflow (pypose bounds steps through its
+        # TrustRegion strategy, slam.py:125)
+        norm = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+        scale_cap = jnp.minimum(1.0, cfg.max_step_norm / jnp.maximum(norm, 1e-12))
+        delta = jnp.where(jnp.isfinite(delta), delta * scale_cap, 0.0)
         return delta
 
     loss0, _ = _loss(nodes, edges, edge_poses, w)
@@ -178,6 +201,7 @@ def optimize_pose_graph(
         delta = gn_step(x, lam)
         x_new = sim3.normalize(sim3.retract(x, delta * opt))
         new_loss, _ = _loss(x_new, edges, edge_poses, w)
+        new_loss = jnp.where(jnp.isfinite(new_loss), new_loss, jnp.inf)
         accept = new_loss < best
         x = jnp.where(accept, x_new, x)
         lam = jnp.where(
@@ -185,9 +209,12 @@ def optimize_pose_graph(
             jnp.maximum(lam * cfg.lambda_down, cfg.lambda_min),
             jnp.minimum(lam * cfg.lambda_up, cfg.lambda_max),
         )
+        # plateau counts ACCEPTED steps without meaningful relative decrease
+        # (rejected steps retry with stronger damping and don't count,
+        # matching the optimizer-internal retry of the reference stack)
         rel = (best - new_loss) / jnp.maximum(best, 1e-12)
-        small = rel < cfg.rel_decrease
-        plateau = jnp.where(small, plateau + 1, 0)
+        improved = accept & (rel >= cfg.rel_decrease)
+        plateau = jnp.where(improved, 0, jnp.where(accept, plateau + 1, plateau))
         best = jnp.minimum(best, new_loss)
         done = plateau >= cfg.patience
         return x, lam, best, plateau, step + 1, done
