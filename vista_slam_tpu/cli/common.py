@@ -10,8 +10,27 @@ from ..utils.config import Config
 from ..utils.logging import Channel, log
 
 
+def enable_compilation_cache(cfg: Config):
+    """Persist XLA compilations across runs — the full-size frontend costs
+    minutes to compile per shape bucket, once per machine with this on."""
+    path = cfg.get("compilation_cache_dir",
+                   os.path.expanduser("~/.cache/vista_slam_tpu/xla"))
+    if not path:
+        return
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover
+        log(f"compilation cache disabled: {e}", Channel.WARNING)
+
+
 def build_frontend(cfg: Config):
     import jax.numpy as jnp
+
+    enable_compilation_cache(cfg)
 
     from ..models.convert import load_params_npz
     from ..models.sta import STAConfig, init_params
