@@ -307,10 +307,12 @@ class STA(nn.Module):
         views' predictions.
         """
         S, B = support_imgs.shape[0], support_imgs.shape[1]
+        p = self.cfg.patch_size
+        grid = (main_img.shape[1] // p, main_img.shape[2] // p)
         f_main = self.encode(main_img)                       # [B,N,C]
         f_supp = self.encode(support_imgs.reshape((S * B,) + support_imgs.shape[2:]))
         f_main_tiled = jnp.tile(f_main, (S, 1, 1))           # [S*B,N,C]
-        return self.decode_and_heads(f_main_tiled, f_supp)
+        return self.decode_and_heads(f_main_tiled, f_supp, grid)
 
 
 def predict_pair_any_aspect(model: STA, params, img1: jnp.ndarray,

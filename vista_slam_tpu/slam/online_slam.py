@@ -222,7 +222,6 @@ class OnlineSLAM:
             store.set_intri([n_i, n_j], [K, K])
 
             se3_ij = hm.from_matrix(np.asarray(host["pose_ij"][k], np.float64), 1.0)
-            view_i_is_new = first_accepted_ni is None
             for v, n, first in ((i, n_i, first_accepted_ni),
                                 (j, n_j, (g.view_to_nodes[j] or [None])[0])):
                 if first is None or first == n:
