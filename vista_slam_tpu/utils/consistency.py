@@ -80,7 +80,9 @@ def view_consistency_count(depths: jnp.ndarray, intrinsics: jnp.ndarray,
             agree = (jnp.abs(d_j - z) < threshold) & (z > 0) & valid & (j != i)
             return agree.astype(jnp.int32)
 
-        js = jnp.clip(jnp.arange(i - window, i + window + 1), 0, N - 1)
+        # static-length window of traced offsets (arange bounds must be
+        # concrete under vmap)
+        js = jnp.clip(i + jnp.arange(-window, window + 1), 0, N - 1)
         return jax.vmap(against)(js).sum(0).reshape(H, W)
 
     return jax.vmap(count_for)(jnp.arange(N))
