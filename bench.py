@@ -66,10 +66,7 @@ def main():
     def keyframe_cycle():
         i = slam.view_num - 1
         js = list(range(i - batch, i))
-        outs = engine.decode_pairs([feats[0]] * batch,
-                                   [feats[k + 1] for k in range(batch)],
-                                   fetch=False)
-        slam._process_edge_batch(i, js, outs)
+        slam._finish_edge_batch(i, js, slam._dispatch_edge_batch(i, js))
 
     # warmup / compile
     t0 = time.time()

@@ -86,8 +86,34 @@ class FrontendEngine:
             }
             return host, dense
 
+        def decode_store_scales_fn(params, f1, f2, depth_buf, conf_buf,
+                                   node_idx, job_new, job_first):
+            """Fused per-keyframe edge step: decode + pointmap-store scatter
+            + speculative scale reductions in ONE program (one dispatch, one
+            fetch). node_idx [2b]: store slots in (n_i(k), n_j(k)) pair
+            order; jobs: padded (new, first) slot pairs."""
+            host, dense = decode_fn(params, f1, f2)
+            b = f1.shape[0]
+            # rows of dense in pair order (dir-i of pair k, then dir-j)
+            perm = jnp.stack([jnp.arange(b), b + jnp.arange(b)], 1).reshape(-1)
+            depth_buf = depth_buf.at[node_idx].set(dense["depth"][perm])
+            conf_buf = conf_buf.at[node_idx].set(dense["conf"][perm])
+
+            d_new = depth_buf[job_new].astype(jnp.float32)
+            d_first = depth_buf[job_first].astype(jnp.float32)
+            c_new = conf_buf[job_new].astype(jnp.float32)
+            c_first = conf_buf[job_first].astype(jnp.float32)
+            wgt = jnp.maximum(c_new * c_first, 1e-6)
+            host["scale"] = (jnp.sum(wgt * d_new * d_first, axis=(1, 2))
+                             / jnp.maximum(jnp.sum(wgt * d_new * d_new, axis=(1, 2)),
+                                           1e-12))
+            host["scale_conf"] = jnp.sqrt(c_new * c_first).mean(axis=(1, 2))
+            return host, depth_buf, conf_buf
+
         self._encode = jax.jit(encode_fn)
         self._decode = jax.jit(decode_fn)
+        self._decode_store_scales = jax.jit(decode_store_scales_fn,
+                                            donate_argnums=(3, 4))
         self.time_encode = 0.0
         self.time_decode = 0.0
 
@@ -130,6 +156,42 @@ class FrontendEngine:
         out["depth_dev"] = dense["depth"]
         out["conf_dev"] = dense["conf"]
         out["bucket"] = b
+        self.time_decode += time.time() - t0
+        return out
+
+    def decode_pairs_fused(self, feats_i, feats_j, store, node_idxs,
+                           jobs) -> dict:
+        """One-dispatch edge step (decode + store write + scale reductions).
+
+        feats: lists of cached [1,N,C] tokens; store: DevicePointmapStore;
+        node_idxs: [2n] speculative slots in (n_i(k), n_j(k)) order;
+        jobs: list of (new_slot, first_slot). Returns the fetched host dict
+        trimmed to n pairs with 'scale'/'scale_conf' aligned to jobs.
+        """
+        n = len(feats_i)
+        t0 = time.time()
+        b = _bucket(n)
+        pad = b - n
+        f1 = jnp.concatenate(feats_i + [feats_i[-1]] * pad, axis=0).astype(jnp.float32)
+        f2 = jnp.concatenate(feats_j + [feats_j[-1]] * pad, axis=0).astype(jnp.float32)
+
+        # static per-bucket paddings: slots for padded pairs go to the scrap
+        # slot (last buffer row, never registered in the graph)
+        scrap = store.max_nodes - 1
+        idx = np.full(2 * b, scrap, np.int32)
+        idx[: 2 * n] = node_idxs
+        j_max = 2 * b + b * (b - 1) // 2
+        jn = np.zeros(j_max, np.int32)
+        jf = np.zeros(j_max, np.int32)
+        jn[: len(jobs)] = [a for a, _ in jobs]
+        jf[: len(jobs)] = [f for _, f in jobs]
+
+        host, store.depth, store.conf = self._decode_store_scales(
+            self.params, f1, f2, store.depth, store.conf,
+            jnp.asarray(idx), jnp.asarray(jn), jnp.asarray(jf))
+        host = jax.device_get(host)
+        out = {k: (v[:n] if k not in ("scale", "scale_conf") else v[: len(jobs)])
+               for k, v in host.items()}
         self.time_decode += time.time() - t0
         return out
 

@@ -41,7 +41,7 @@ class OnlineSLAM:
 
         # edge sizing identical to the reference (slam.py:33-36); the node
         # buffer gets headroom because speculative batch assignment leaves
-        # gap slots for rejected edges (see _process_edge_batch)
+        # gap slots for rejected edges (see _plan_edge_batch)
         per_view = 2 * neighbor_edge_num + loop_edge_num
         max_nodes = max_view_num * 2 * (neighbor_edge_num + loop_edge_num)
         scale_edges = per_view - 1
@@ -95,17 +95,13 @@ class OnlineSLAM:
         self.view_num += 1
         self.time_dict["encoder"] += time.time() - t0
 
-        # --- neighbor edges: DISPATCH the batched decode, then run the
-        # host-side BoW retrieval while the device works (the reference is
-        # fully serial here, slam.py:262-277) -----------------------------
+        # --- neighbor edges: DISPATCH the batched device work, then run the
+        # host-side BoW retrieval while the device computes (the reference
+        # is fully serial here, slam.py:262-277) --------------------------
         t0 = time.time()
         farthest = max(0, i - self.neighbor_edge_num)
         njs = list(range(farthest, i))
-        outs = None
-        if njs:
-            outs = self.frontend.decode_pairs(
-                [self.enc_feats[i]] * len(njs),
-                [self.enc_feats[j] for j in njs], fetch=False)
+        pending = self._dispatch_edge_batch(i, njs) if njs else None
         t_dispatch = time.time() - t0
 
         t0 = time.time()
@@ -115,17 +111,15 @@ class OnlineSLAM:
         self.time_dict["lc"] += time.time() - t0
 
         t0 = time.time()
-        if outs is not None:
-            self._process_edge_batch(i, njs, outs)
+        if pending is not None:
+            self._finish_edge_batch(i, njs, pending)
         t_neighbor = t_dispatch + (time.time() - t0)
 
         t0 = time.time()
         loop_js = [j for j, _ in loop_cands[: self.loop_edge_num]]
         if loop_js:
-            outs = self.frontend.decode_pairs(
-                [self.enc_feats[i]] * len(loop_js),
-                [self.enc_feats[j] for j in loop_js], fetch=False)
-            self._process_edge_batch(i, loop_js, outs)
+            self._finish_edge_batch(i, loop_js,
+                                    self._dispatch_edge_batch(i, loop_js))
         self.time_dict["graph_construction"] += t_neighbor + (time.time() - t0)
 
         # --- windowed PGO ---------------------------------------------------
@@ -141,37 +135,22 @@ class OnlineSLAM:
         if getattr(self, "pointmaps", None) is None:
             from .pointmap_store import DevicePointmapStore
 
-            self.pointmaps = DevicePointmapStore(self.graph.max_nodes, tuple(hw))
+            # +1 scrap row: padded pairs in the fused path scatter there
+            self.pointmaps = DevicePointmapStore(self.graph.max_nodes + 1, tuple(hw))
         return self.pointmaps
 
-    def _process_edge_batch(self, i: int, js: list[int], outs: dict):
-        """Insert a batch of regressed two-view constraints (i, j) into the
-        graph (reference semantics per edge: slam.py:153-241).
-
-        Single-sync pipeline: node indices are assigned SPECULATIVELY
-        (pair k -> base+2k, base+2k+1; rejected pairs leave gaps, which the
-        optimizer ignores), so the pointmap scatter and every possibly-
-        needed same-view scale reduction are dispatched behind the decode
-        without waiting for its outputs; one joint fetch then drives the
-        host-side graph replay in the reference's sequential order.
-        """
+    def _plan_edge_batch(self, i: int, js: list[int]):
+        """Speculative slot assignment + scale-job enumeration BEFORE any
+        device result is known: pair k gets slots (base+2k, base+2k+1)
+        (rejected pairs leave gaps outside the optimization window), and
+        every (new node, possible first node) scale reduction the replay
+        might need is listed up front."""
         g = self.graph
-        b = outs["bucket"]
         B = len(js)
         base = g.num_nodes
         spec_ni = [base + 2 * k for k in range(B)]
         spec_nj = [base + 2 * k + 1 for k in range(B)]
-
-        # phase 1 (async): scatter ALL candidate pointmaps into the store
-        depth_dev = outs["depth_dev"]
-        conf_dev = outs["conf_dev"]
-        store = self._store(depth_dev.shape[1:])
-        rows = np.asarray([r for k in range(B) for r in (k, b + k)])
         node_idxs = [n for k in range(B) for n in (spec_ni[k], spec_nj[k])]
-        store.write_batch(node_idxs, depth_dev[rows], conf_dev[rows])
-
-        # phase 2 (async): speculative scale jobs — every (new node, possible
-        # first node) combination that the replay below might need
         prior_first_i = (g.view_to_nodes.get(i) or [None])[0]
         jobs: list[tuple[int, int]] = []
         for k in range(B):
@@ -182,23 +161,62 @@ class OnlineSLAM:
             fj = (g.view_to_nodes.get(js[k]) or [None])[0]
             if fj is not None:
                 jobs.append((spec_nj[k], fj))
+        return spec_ni, spec_nj, node_idxs, jobs, prior_first_i
+
+    def _dispatch_edge_batch(self, i: int, js: list[int]):
+        """Dispatch all device work for an edge batch without synchronizing.
+
+        Fused path (real frontend): decode + store scatter + scale
+        reductions run as ONE program. Fallback path (duck-typed frontends
+        without decode_pairs_fused, e.g. the synthetic test frontend):
+        three chained dispatches with the same dataflow.
+        """
+        plan = self._plan_edge_batch(i, js)
+        spec_ni, spec_nj, node_idxs, jobs, _ = plan
+        f_i = [self.enc_feats[i]] * len(js)
+        f_j = [self.enc_feats[j] for j in js]
+
+        if hasattr(self.frontend, "decode_pairs_fused"):
+            store = self._store(self.frontend.cfg.img_size)
+            host_dev = self.frontend.decode_pairs_fused(
+                f_i, f_j, store, node_idxs, jobs)
+            return plan, ("fused", host_dev)
+
+        outs = self.frontend.decode_pairs(f_i, f_j, fetch=False)
+        b = outs["bucket"]
+        store = self._store(outs["depth_dev"].shape[1:])
+        rows = np.asarray([r for k in range(len(js)) for r in (k, b + k)])
+        store.write_batch(node_idxs, outs["depth_dev"][rows],
+                          outs["conf_dev"][rows])
         sc_dev = (store.scales_batch_async([a for a, _ in jobs],
                                            [f for _, f in jobs])
                   if jobs else None)
+        return plan, ("plain", outs, sc_dev)
 
-        # ONE synchronization: small decode outputs + speculative scales
+    def _finish_edge_batch(self, i: int, js: list[int], pending):
+        """ONE synchronization, then replay the graph updates in the
+        reference's per-edge order (slam.py:153-241)."""
         import jax
+
+        plan, payload = pending
+        spec_ni, spec_nj, node_idxs, jobs, prior_first_i = plan
+        g = self.graph
+        store = self.pointmaps
 
         host_keys = ["pose_ij", "pose_conf_ij", "pose_ji", "pose_conf_ji",
                      "mean_conf_i", "mean_conf_j", "K"]
-        fetched = jax.device_get(({k: outs[k] for k in host_keys}, sc_dev))
-        host, sc = fetched
+        if payload[0] == "fused":
+            host = payload[1]  # already fetched (trimmed) by the engine
+            sc = (host["scale"], host["scale_conf"]) if jobs else None
+        else:
+            _, outs, sc_dev = payload
+            host, sc = jax.device_get(
+                ({k: outs[k] for k in host_keys}, sc_dev))
         scale_of = {}
         if sc is not None:
             for (n, f), s, c in zip(jobs, sc[0], sc[1]):
                 scale_of[(n, f)] = (float(s), float(c))
 
-        # host replay in the reference's per-edge order
         first_accepted_ni = prior_first_i
         for k, j in enumerate(js):
             assert i > j
