@@ -55,8 +55,10 @@ class PoseGraph:
         self.node_view[n] = view_id
         self.node_connected_view[n] = connected_view
         self.view_to_nodes.setdefault(view_id, []).append(n)
-        best = self.view_best_node.get(view_id, (-1, -100.0))
-        if mean_conf > best[1]:
+        # every view with a node must have a best node, even if mean_conf is
+        # non-finite (NaN comparisons are always False)
+        best = self.view_best_node.get(view_id)
+        if best is None or mean_conf > best[1]:
             self.view_best_node[view_id] = (n, float(mean_conf))
         self.num_nodes = max(self.num_nodes, n + 1)
         return n
