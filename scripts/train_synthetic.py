@@ -43,6 +43,30 @@ def run_slam_eval(model_cfg, params, eval_poses, dataset_cls_kwargs):
     return stats["rmse"]
 
 
+def eval_pair_pose_error(model_cfg, params, ds, n_pairs=32, seed=7):
+    """Median relative-pose rotation error (deg) of the frontend on
+    held-out view pairs — a more direct probe than full-SLAM ATE."""
+    import jax
+    import jax.numpy as jnp
+
+    from vista_slam_tpu.models.sta import STA
+
+    model = STA(model_cfg)
+    fwd = jax.jit(lambda p, a, b: model.apply(p, a, b))
+    rng = np.random.default_rng(seed)
+    errs = []
+    for _ in range(n_pairs):
+        i = int(rng.integers(0, ds.n_frames))
+        j = (i + int(rng.integers(1, 4))) % ds.n_frames
+        vi, vj = ds.view(i), ds.view(j)
+        out = fwd(params, jnp.asarray(vi["img"])[None], jnp.asarray(vj["img"])[None])
+        pred = np.asarray(out["pose"][0])  # i in j's frame
+        gt = np.linalg.inv(vj["camera_pose"]) @ vi["camera_pose"]
+        cosang = np.clip((np.trace(pred[:3, :3].T @ gt[:3, :3]) - 1) / 2, -1, 1)
+        errs.append(np.degrees(np.arccos(cosang)))
+    return float(np.median(errs))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -60,12 +84,13 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", default="/tmp/synth_sta.npz")
+    ap.add_argument("--patch", type=int, default=8)
     ap.add_argument("--skip-eval", action="store_true")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")
     hw = (64, 64)
-    cfg = STAConfig(img_size=hw, patch_size=16, enc_dim=96, enc_depth=4,
+    cfg = STAConfig(img_size=hw, patch_size=args.patch, enc_dim=96, enc_depth=4,
                     enc_heads=4, dec_dim=64, dec_depth=4, dec_heads=4,
                     mlp_ratio=4, compute_dtype=jnp.bfloat16)
     model = STA(cfg)
@@ -83,6 +108,9 @@ def main():
     with mesh:
         dummy = jnp.zeros((1,) + hw + (3,))
         params0 = model.init(jax.random.PRNGKey(0), dummy, dummy)
+        # host copy: device_put in init_fn may alias these buffers and the
+        # donated train step would delete them
+        params0 = jax.device_get(params0)
         state = init_fn(params0)
         step = 0
         epoch = 0
@@ -105,6 +133,11 @@ def main():
 
     if args.skip_eval:
         return
+    eval_ds = SyntheticSceneDataset(**{**ds_kwargs, "radius": 1.6})
+    rot_t = eval_pair_pose_error(cfg, trained, eval_ds)
+    rot_r = eval_pair_pose_error(cfg, params0, eval_ds)
+    print(f"frontend median rotation error: trained={rot_t:.2f} deg  "
+          f"random={rot_r:.2f} deg")
     eval_poses = orbit_trajectory(20, radius=1.6, height=0.4).astype(np.float32)
     ate_trained = run_slam_eval(cfg, trained, eval_poses, ds_kwargs)
     ate_random = run_slam_eval(cfg, params0, eval_poses, ds_kwargs)
