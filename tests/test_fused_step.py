@@ -1,0 +1,66 @@
+"""The fused edge step (decode + store scatter + scale reductions in one
+program) must be numerically identical to the chained-dispatch path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vista_slam_tpu.models.sta import STAConfig, init_params
+from vista_slam_tpu.slam.frontend import FrontendEngine
+from vista_slam_tpu.slam.pointmap_store import DevicePointmapStore
+
+CFG = STAConfig(img_size=(64, 64), patch_size=16, enc_dim=64, enc_depth=1,
+                enc_heads=4, dec_dim=48, dec_depth=4, dec_heads=4,
+                mlp_ratio=2, compute_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    _, params = init_params(CFG, seed=0)
+    return FrontendEngine(CFG, params)
+
+
+def test_fused_matches_chained(engine):
+    rng = np.random.default_rng(0)
+    n = 3
+    feats_i = [jnp.asarray(rng.standard_normal((1, 16, 64)), jnp.float32)
+               for _ in range(n)]
+    feats_j = [jnp.asarray(rng.standard_normal((1, 16, 64)), jnp.float32)
+               for _ in range(n)]
+    node_idxs = [0, 1, 2, 3, 4, 5]
+    jobs = [(2, 0), (4, 0), (3, 1)]
+
+    # chained path
+    store_a = DevicePointmapStore(10, (64, 64))
+    outs = engine.decode_pairs(feats_i, feats_j, fetch=True)
+    b = outs["bucket"]
+    rows = np.asarray([r for k in range(n) for r in (k, b + k)])
+    store_a.write_batch(node_idxs, outs["depth_dev"][rows], outs["conf_dev"][rows])
+    s_a, c_a = store_a.scales_batch([a for a, _ in jobs], [f for _, f in jobs])
+
+    # fused path
+    store_b = DevicePointmapStore(10, (64, 64))
+    host = engine.decode_pairs_fused(feats_i, feats_j, store_b, node_idxs, jobs)
+
+    np.testing.assert_allclose(np.asarray(store_b.depth[:6]),
+                               np.asarray(store_a.depth[:6]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(store_b.conf[:6]),
+                               np.asarray(store_a.conf[:6]), rtol=1e-2)
+    np.testing.assert_allclose(host["scale"], s_a, rtol=1e-3)
+    np.testing.assert_allclose(host["scale_conf"], c_a, rtol=1e-3)
+    np.testing.assert_allclose(host["pose_ij"], outs["pose_ij"], atol=1e-4)
+    np.testing.assert_allclose(host["mean_conf_i"], outs["mean_conf_i"], rtol=1e-4)
+    np.testing.assert_allclose(host["K"], outs["K"], rtol=1e-3)
+
+
+def test_fused_pads_to_scrap_slot(engine):
+    rng = np.random.default_rng(1)
+    feats_i = [jnp.asarray(rng.standard_normal((1, 16, 64)), jnp.float32)]
+    feats_j = [jnp.asarray(rng.standard_normal((1, 16, 64)), jnp.float32)]
+    store = DevicePointmapStore(10, (64, 64))
+    engine.decode_pairs_fused(feats_i, feats_j, store, [0, 1], [])
+    # bucket pads to 2 pairs; padded slots land on the scrap row (9)
+    assert float(jnp.abs(store.depth[0]).sum()) > 0
+    assert float(jnp.abs(store.depth[1]).sum()) > 0
+    for untouched in range(2, 9):
+        assert float(jnp.abs(store.depth[untouched]).sum()) == 0.0
