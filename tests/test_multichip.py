@@ -11,6 +11,15 @@ def test_dryrun_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_make_mesh_raises_on_too_few_devices():
+    import pytest
+
+    from vista_slam_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(RuntimeError, match="only 8 device"):
+        make_mesh(16)
+
+
 def test_param_sharding_rules():
     import jax.numpy as jnp
 

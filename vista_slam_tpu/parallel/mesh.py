@@ -20,6 +20,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int | None = None, tp: int | None = None) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_mesh({n_devices}) but only {len(devices)} device(s) "
+                f"available on backend {jax.default_backend()!r}; refusing to "
+                "silently truncate — force a virtual CPU mesh via "
+                "XLA_FLAGS=--xla_force_host_platform_device_count or run on "
+                "real hardware")
         devices = devices[:n_devices]
     n = len(devices)
     if tp is None:
