@@ -122,3 +122,19 @@ def depth_to_points(depth: np.ndarray, K: np.ndarray):
     y = (ys - K[1, 2]) * z / K[1, 1]
     pts = np.stack([x, y, z], axis=-1)
     return pts, np.isfinite(z) & (z > 0)
+
+
+def distance_to_points(dist: np.ndarray, K: np.ndarray):
+    """Ray-distance HW (Euclidean range along the pixel ray, the Aria/ASE
+    depth convention) + K -> camera-frame points [H,W,3] and validity mask
+    (reference: vista_slam/utils/geometry.py:83-122,
+    depthmap_to_camera_coordinates_ARIA)."""
+    h, w = dist.shape
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    dx = (xs - K[0, 2]) / K[0, 0]
+    dy = (ys - K[1, 2]) / K[1, 1]
+    ray = np.stack([dx, dy, np.ones_like(dx)], axis=-1)
+    ray /= np.linalg.norm(ray, axis=-1, keepdims=True)
+    pts = ray * dist[..., None]
+    return pts.astype(np.float32), np.isfinite(dist) & (dist > 0)

@@ -22,7 +22,8 @@ import os.path as osp
 import numpy as np
 
 from .combinators import ComposableDataset
-from .preprocess import crop_resize, depth_to_points, to_model_inputs
+from .preprocess import (crop_resize, depth_to_points, distance_to_points,
+                         to_model_inputs)
 
 try:
     import cv2
@@ -60,6 +61,10 @@ class ViewGraphDataset(ComposableDataset):
                                 else list(scene_name))
 
     # -- per-format hooks -------------------------------------------------
+    depth_is_distance = False  # Aria/ASE renders store ray range, not z
+    max_depth: float | None = None  # format-specific far clamp (meters)
+    crop_edge = 0  # border margin excluded before the crop (ScanNet: 10)
+
     def _scene_data_dir(self, scene_id: str) -> str:
         return osp.join(self.sensor_data_root, scene_id)
 
@@ -101,12 +106,16 @@ class ViewGraphDataset(ComposableDataset):
             return None
         depth = depth.copy()
         depth[~np.isfinite(depth)] = 0
+        if self.max_depth is not None:
+            depth[depth > self.max_depth] = 0
         if (depth > 0).sum() == 0:
             return None
         if rgb.shape[:2] != depth.shape:
             rgb = cv2.resize(rgb, (depth.shape[1], depth.shape[0]))
-        rgb, depth, K2 = crop_resize(rgb, depth, K, resolution, w_edge=10, h_edge=10)
-        pts, valid = depth_to_points(depth, K2)
+        rgb, depth, K2 = crop_resize(rgb, depth, K, resolution,
+                                     w_edge=self.crop_edge, h_edge=self.crop_edge)
+        unproject = distance_to_points if self.depth_is_distance else depth_to_points
+        pts, valid = unproject(depth, K2)
         inputs = to_model_inputs(rgb)
         return {
             "img": inputs["rgb"],
@@ -202,7 +211,10 @@ def _imread(path, flags=None):
 
 class ScanNet(ViewGraphDataset):
     """sensor_data/<frame>.color.jpg|.depth.png|.pose.txt +
-    intrinsic/intrinsic_depth.txt (depth in mm)."""
+    intrinsic/intrinsic_depth.txt (depth in mm)
+    (reference: datasets/scannet.py:84-127)."""
+
+    crop_edge = 10
 
     def _scene_data_dir(self, scene_id):
         return osp.join(self.sensor_data_root, scene_id, "sensor_data")
@@ -224,10 +236,12 @@ class ScanNet(ViewGraphDataset):
 
 
 class SevenScenes(ViewGraphDataset):
-    """<frame>.color.png|.depth.png|.pose.txt, Kinect intrinsics, mm depth
-    with 65535 as invalid."""
+    """<frame>.color.png|.depth.png|.pose.txt, nominal Kinect intrinsics
+    (training uses fx=fy=525, reference: datasets/sevenscenes.py:237-238;
+    the calibrated 532.57 values are the eval-time choice), mm depth with
+    65535 as invalid."""
 
-    K = np.asarray([[532.57, 0, 320], [0, 531.54, 240], [0, 0, 1]], np.float32)
+    K = np.asarray([[525.0, 0, 320], [0, 525.0, 240], [0, 0, 1]], np.float32)
 
     def _read_view_raw(self, data_dir, view_name, scene_id):
         try:
@@ -273,8 +287,12 @@ class ScanNetpp(ViewGraphDataset):
             frames, K = self._load_meta(scene_id)
             fr = frames[view_name]
             pose = np.asarray(fr["transform_matrix"], np.float32)
-            # nerfstudio OpenGL camera -> OpenCV convention
-            pose[:3, 1:3] *= -1
+            # nerfstudio OpenGL camera + world axes -> OpenCV convention
+            # (reference: datasets/scannetpp.py:86-90 — flip camera y/z
+            # columns, then flip world y and z rows including translation)
+            pose[:, 1:3] *= -1.0
+            pose[2, :] *= -1.0
+            pose[1, :] *= -1.0
             rgb = _imread(osp.join(data_dir, f"undistorted_images/{view_name}.JPG"))
             depth = _imread(osp.join(data_dir, f"undistorted_depths/{view_name}.png"),
                             cv2.IMREAD_UNCHANGED)
@@ -287,7 +305,13 @@ class ScanNetpp(ViewGraphDataset):
 
 class ARKitScenes(ViewGraphDataset):
     """lowres_wide/<video>_<ts>.png + lowres_depth (mm) + per-frame .pincam
-    intrinsics + lowres_wide.traj poses."""
+    intrinsics + lowres_wide.traj poses
+    (reference: datasets/arkitscene.py:87-110,259-343)."""
+
+    def frame_key(self, img_name: str) -> str:
+        # timestamps contain '.', so strip only the .png suffix
+        # (reference: arkitscene.py:173 splits on ".png")
+        return img_name.split(".png")[0]
 
     def _load_traj(self, scene_id):
         cache = getattr(self, "_traj_cache", {})
@@ -314,12 +338,13 @@ class ARKitScenes(ViewGraphDataset):
         try:
             video_id, ts = view_name.rsplit("_", 1)
             poses = self._load_traj(scene_id)
-            key = f"{float(ts):.3f}"
-            pose = poses.get(key)
+            # exact timestamp key, else nearest within 0.1 s (reference:
+            # datasets/arkitscene.py:331-339)
+            pose = poses.get(f"{float(ts):.3f}")
             if pose is None:
-                for delta in (-0.001, 0.001):
-                    pose = poses.get(f"{float(ts) + delta:.3f}")
-                    if pose is not None:
+                for key, cand in poses.items():
+                    if abs(float(ts) - float(key)) < 0.1:
+                        pose = cand
                         break
             if pose is None:
                 return None
@@ -344,40 +369,56 @@ class ARKitScenes(ViewGraphDataset):
 
 
 class Replica(ViewGraphDataset):
-    """results/frame*.jpg + depth*.png (scale 6553.5) + traj.txt."""
+    """Training Replica renders: frame*.jpg + depth*.png (scale 6553.5,
+    >50 m invalid) directly in the scene dir, camera.txt intrinsics
+    ("w,h,fx,fy" on line 2, principal point at the image center), flattened
+    4x4 poses in camera_trajectory.txt
+    (reference: datasets/replica.py:54-106)."""
 
-    K = np.asarray([[600.0, 0, 599.5], [0, 600.0, 339.5], [0, 0, 1]], np.float32)
+    max_depth = 50.0
 
-    def _scene_data_dir(self, scene_id):
-        return osp.join(self.sensor_data_root, scene_id, "results")
-
-    def _load_traj(self, scene_id):
-        cache = getattr(self, "_traj_cache", {})
+    def _load_camera(self, scene_id):
+        cache = getattr(self, "_cam_cache", {})
         if scene_id not in cache:
-            with open(osp.join(self.sensor_data_root, scene_id, "traj.txt")) as f:
-                cache[scene_id] = [
-                    np.asarray(list(map(float, line.split())), np.float32).reshape(4, 4)
-                    for line in f if line.strip()]
-            self._traj_cache = cache
+            scene_path = osp.join(self.sensor_data_root, scene_id)
+            with open(osp.join(scene_path, "camera.txt")) as f:
+                lines = f.readlines()
+            w, h, fx, fy = map(float, lines[1].strip().split(","))
+            K = np.asarray([[fx, 0, (w - 1) / 2.0],
+                            [0, fy, (h - 1) / 2.0], [0, 0, 1]], np.float32)
+            with open(osp.join(scene_path, "camera_trajectory.txt")) as f:
+                poses = [np.asarray(list(map(float, line.split())),
+                                    np.float32).reshape(4, 4)
+                         for line in f if line.strip()]
+            cache[scene_id] = (K, poses)
+            self._cam_cache = cache
         return cache[scene_id]
 
     def _read_view_raw(self, data_dir, view_name, scene_id):
         try:
+            K, poses = self._load_camera(scene_id)
             idx = int("".join(c for c in view_name if c.isdigit()))
-            pose = self._load_traj(scene_id)[idx]
+            pose = poses[idx]
             rgb = _imread(osp.join(data_dir, f"{view_name}.jpg"))
-            depth = _imread(osp.join(data_dir, f"depth{view_name[5:]}.png"),
-                            cv2.IMREAD_UNCHANGED)
+            depth = _imread(
+                osp.join(data_dir, f"{view_name.replace('frame', 'depth')}.png"),
+                cv2.IMREAD_UNCHANGED)
         except Exception:
             return None
         if rgb is None or depth is None:
             return None
-        return rgb, depth.astype(np.float32) / 6553.5, pose, self.K
+        return rgb, depth.astype(np.float32) / 6553.5, pose, K
 
 
 class Co3d(ViewGraphDataset):
     """images/<f>.jpg + depths/<f>.jpg.geometric.png (relative, scaled by the
-    per-frame maximum_depth) + per-frame npz camera info."""
+    per-frame maximum_depth) + per-frame npz camera info; optional
+    masks/<f>.png background masking
+    (reference: datasets/co3d.py:63-92)."""
+
+    def __init__(self, *, mask_bg=False, **kw):
+        super().__init__(**kw)
+        self.mask_bg = mask_bg
 
     def _read_view_raw(self, data_dir, view_name, scene_id):
         try:
@@ -389,6 +430,10 @@ class Co3d(ViewGraphDataset):
                             cv2.IMREAD_UNCHANGED)
             depth = depth.astype(np.float32) / 65535.0 * np.nan_to_num(
                 float(info["maximum_depth"]))
+            if self.mask_bg:
+                mask = _imread(osp.join(data_dir, f"masks/{view_name}.png"),
+                               cv2.IMREAD_UNCHANGED)
+                depth = depth * ((mask.astype(np.float32) / 255.0) > 0.1)
         except Exception:
             return None
         if rgb is None or depth is None:
@@ -397,26 +442,29 @@ class Co3d(ViewGraphDataset):
 
 
 class AriaSynthetic(ViewGraphDataset):
-    """ASE-style renders: rgb/vignette<f>.jpg + depth/depth<f>.png (mm) +
-    per-scene trajectory file."""
+    """ASE-style renders: color/<f>.jpg + depth/<f>.png (mm, ray-distance
+    convention, >20 m invalid) + pose/<f>.txt 4x4 poses +
+    intrinsic/intrinsic_color.txt
+    (reference: datasets/aria_synthetic.py:87-104,245-246; ray-distance
+    unprojection per utils/geometry.py:83-122)."""
+
+    depth_is_distance = True
+    max_depth = 20.0
 
     def _read_view_raw(self, data_dir, view_name, scene_id):
         try:
-            idx = int("".join(c for c in view_name if c.isdigit()))
-            rgb = _imread(osp.join(data_dir, f"rgb/vignette{idx:07d}.jpg"))
-            depth = _imread(osp.join(data_dir, f"depth/depth{idx:07d}.png"),
+            pose = np.loadtxt(osp.join(data_dir, "pose", f"{view_name}.txt")
+                              ).astype(np.float32)
+            if pose.shape != (4, 4):
+                return None
+            rgb = _imread(osp.join(data_dir, "color", f"{view_name}.jpg"))
+            depth = _imread(osp.join(data_dir, "depth", f"{view_name}.png"),
                             cv2.IMREAD_UNCHANGED)
-            traj = np.loadtxt(osp.join(data_dir, "trajectory.csv"),
-                              delimiter=",", skiprows=1)
-            row = traj[idx]
-            from scipy.spatial.transform import Rotation
-
-            T = np.eye(4, dtype=np.float32)
-            T[:3, :3] = Rotation.from_quat(row[4:8]).as_matrix()
-            T[:3, 3] = row[1:4]
-            K = np.loadtxt(osp.join(data_dir, "intrinsics.txt")).astype(np.float32)
+            K = np.loadtxt(osp.join(self.sensor_data_root, scene_id,
+                                    "intrinsic", "intrinsic_color.txt")
+                           ).astype(np.float32)[:3, :3]
         except Exception:
             return None
         if rgb is None or depth is None:
             return None
-        return rgb, depth.astype(np.float32) / 1000.0, T, K
+        return rgb, depth.astype(np.float32) / 1000.0, pose, K
