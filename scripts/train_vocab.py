@@ -53,7 +53,10 @@ def main():
     print(f"training k={args.k} L={args.levels} on {len(descs)} descriptors ...")
     vocab = train_vocabulary(descs, k=args.k, levels=args.levels,
                              seed=args.seed, image_ids=ids, n_images=len(paths))
-    vocab.save_npz(args.out)
+    if args.out.endswith(".txt"):
+        vocab.save_dbow_text(args.out)  # DBoW3-compatible text export
+    else:
+        vocab.save_npz(args.out)
     print(f"saved {vocab.num_words}-word vocabulary to {args.out}")
 
 

@@ -189,6 +189,31 @@ class Vocabulary:
         self.__dict__.update(new.__dict__)
         return self
 
+    def save_dbow_text(self, path: str, scoring: int = 0, weighting: int = 0):
+        """Write the DBoW2/DBoW3 plain-text vocabulary layout: header
+        ``k L scoring weighting`` then one line per non-root node in node-id
+        order: ``parent is_leaf d0..d31 weight``. Node/word-id conventions
+        match DBoW's loadFromTextFile (line n creates node n, root = 0; word
+        ids assigned in the order leaf lines appear), so a vocabulary
+        round-tripped through this format preserves transform/score results
+        bit-for-bit (reference consumer: vista_slam/loop_detector.py:6-7)."""
+        n = len(self.node_word)
+        parent = np.full(n, -1, np.int64)
+        desc = np.zeros((n, 32), np.uint8)
+        for p in range(n):
+            for slot in range(self.k):
+                c = self.child_idx[p, slot]
+                if c >= 0:
+                    parent[c] = p
+                    desc[c] = self.child_desc[p, slot]
+        with open(path, "w") as f:
+            f.write(f"{self.k} {self.levels} {scoring} {weighting}\n")
+            for node in range(1, n):
+                is_leaf = int(self.node_word[node] >= 0)
+                d = " ".join(str(int(x)) for x in desc[node])
+                f.write(f"{parent[node]} {is_leaf} {d} "
+                        f"{float(self.node_weight[node]):.9g}\n")
+
     def save_npz(self, path: str):
         np.savez_compressed(
             path, k=self.k, levels=self.levels, child_idx=self.child_idx,
@@ -272,6 +297,7 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 3,
         frontier = nxt
 
     weights = np.ones(len(parents), np.float32)
+    weights[0] = 0.0  # root carries no weight (matches the text format)
     if weighting == "tf_idf" and image_ids is not None:
         n_img = n_images or (int(image_ids.max()) + 1)
         for node, members in enumerate(node_members):
@@ -279,7 +305,8 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 3,
                 ni = len(np.unique(image_ids[members]))
                 weights[node] = np.log(max(n_img, 1) / max(ni, 1)) if ni else 0.0
         # DBoW keeps zero-idf words with tiny weight
-        weights[weights <= 0] = 1e-3
+        leaf_mask = np.asarray(is_leaf, bool)
+        weights[leaf_mask & (weights <= 0)] = 1e-3
 
     return Vocabulary._from_tree(
         k, levels, np.asarray(parents, np.int32), np.stack(descs),
