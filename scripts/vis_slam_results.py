@@ -72,16 +72,19 @@ def main():
     vg_path = os.path.join(args.result_dir, "view_graph.npz")
     if os.path.exists(vg_path):
         vg = np.load(vg_path, allow_pickle=True)
-        graph = vg["view_graph"].item()
+        if "edges" in vg.files:
+            pairs = [tuple(e) for e in vg["edges"]]
+        else:  # legacy pickled-dict schema
+            graph = vg["view_graph"].item()
+            pairs = [(v, u) for v, ns in graph.items() for u in ns]
         loop_min = int(vg["loop_min_dist"])
         edge_lines, edge_cols = [], []
-        for v, neighbors in graph.items():
-            for u in neighbors:
-                if u < 0 or u >= len(poses):
-                    continue
-                edge_lines.append((traj[int(v)], traj[int(u)]))
-                edge_cols.append("tab:orange" if abs(int(v) - int(u)) > loop_min
-                                 else "tab:blue")
+        for v, u in pairs:
+            if u < 0 or u >= len(poses):
+                continue
+            edge_lines.append((traj[int(v)], traj[int(u)]))
+            edge_cols.append("tab:orange" if abs(int(v) - int(u)) > loop_min
+                             else "tab:blue")
         ax.add_collection3d(Line3DCollection(edge_lines, colors=edge_cols,
                                              lw=0.4, alpha=0.5))
 

@@ -110,3 +110,122 @@ def test_pgo_scale_edge():
     )
     # X_1 = X_0 * Z => scale of node 1 should be s
     assert abs(float(sim3.scale(out[1])) - s) < 1e-3
+
+
+def _stress_graph(n=120, seed=3, odo_noise=0.03, init_noise=0.15):
+    """Long drifting loop trajectory (circle returning to start) + one
+    distant exact loop edge + near-zero-confidence junk edges + deliberately
+    bad initialization (VERDICT round-1 item 7; reference trust-region
+    semantics: slam.py:123-137)."""
+    key = jax.random.PRNGKey(seed)
+    k_chain, k_junk, k_init = jax.random.split(key, 3)
+
+    # circle: constant forward step + yaw, so node n-1 revisits node 0
+    step = jnp.asarray([0.3, 0.0, 0.0, 0.0, 0.0, 2 * np.pi / n, 0.0])
+    gt = [sim3.identity()]
+    for _ in range(1, n):
+        gt.append(sim3.mul(gt[-1], sim3.exp(step)))
+    gt = jnp.stack(gt)
+    keys = jax.random.split(k_chain, n)
+    all_edges, all_meas = [], []
+    for k in range(1, n):
+        z = sim3.mul(sim3.inv(gt[k - 1]), gt[k])
+        xi = odo_noise * jax.random.normal(keys[k], (7,))
+        all_edges.append((k, k - 1))
+        all_meas.append(sim3.mul(z, sim3.exp(xi)))
+    all_confs = [np.ones(7, np.float32)] * len(all_edges)
+
+    # one distant loop with an exact measurement, strongly weighted
+    all_edges.append((n - 1, 0))
+    all_meas.append(sim3.mul(sim3.inv(gt[0]), gt[n - 1]))
+    all_confs.append(np.full(7, 10.0, np.float32))
+
+    # a block of junk edges with near-zero confidence: they must not drag
+    # the solution, and their ~0 weights must not break CG/preconditioning
+    junk_keys = jax.random.split(k_junk, 10)
+    rng = np.random.default_rng(seed)
+    for t in range(10):
+        i, j = sorted(rng.choice(n, 2, replace=False), reverse=True)
+        all_edges.append((int(i), int(j)))
+        all_meas.append(sim3.exp(2.0 * jax.random.normal(junk_keys[t], (7,))))
+        all_confs.append(np.full(7, 1e-6, np.float32))
+
+    # bad init: drifted odometry integration, further scrambled
+    init = [np.asarray(sim3.identity())]
+    for k in range(1, n):
+        init.append(np.asarray(sim3.mul(jnp.asarray(init[-1]), all_meas[k - 1])))
+    init = jnp.asarray(np.stack(init))
+    pert = init_noise * jax.random.normal(k_init, (n, 7))
+    init = sim3.mul(init, sim3.exp(pert))
+    init = init.at[0].set(sim3.identity())
+
+    opt_mask = np.ones(n, bool)
+    opt_mask[0] = False
+    return gt, init, all_edges, all_meas, all_confs, opt_mask
+
+
+def _run_stress(cfg, n=120, n_pad=128, e_pad=160):
+    gt, init, all_edges, all_meas, all_confs, opt_mask = _stress_graph(n)
+    e = len(all_edges)
+    nodes = pad(np.asarray(init), n_pad, np.asarray(sim3.identity()))
+    edges = pad(np.asarray(all_edges, np.int32), e_pad, np.zeros(2, np.int32))
+    poses = pad(np.stack([np.asarray(m) for m in all_meas]), e_pad,
+                np.asarray(sim3.identity()))
+    confs = pad(np.stack(all_confs), e_pad, np.zeros(7, np.float32))
+    valid = pad(np.ones(e, bool), e_pad, np.zeros((), bool))
+    mask = pad(opt_mask, n_pad, np.zeros((), bool))
+    out, info = optimize_pose_graph(nodes, edges, poses, confs, valid, mask, cfg)
+    return gt, init, out[:n], info
+
+
+def test_pgo_stress_long_chain_distant_loop():
+    cfg = PGOConfig(max_steps=40)
+    gt, init, out, info = _run_stress(cfg)
+    n = gt.shape[0]
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(info["loss"]) < 0.05 * float(info["loss0"]), info
+    # converged to the loop-consistent solution: the distant loop edge is
+    # satisfied (it was wildly violated at init) ...
+    z = sim3.mul(sim3.inv(out[0]), out[n - 1])
+    z_gt = sim3.mul(sim3.inv(gt[0]), gt[n - 1])
+    err = float(jnp.linalg.norm(sim3.log(sim3.mul(sim3.inv(z_gt), z))))
+    err_init = float(jnp.linalg.norm(sim3.log(
+        sim3.mul(sim3.inv(z_gt), sim3.mul(sim3.inv(init[0]), init[n - 1])))))
+    assert err < 0.1 * err_init, (err, err_init)
+    # ... and the trajectory is globally better than the scrambled init
+    assert ate(out, gt) < 0.5 * ate(init, gt), (ate(out, gt), ate(init, gt))
+    # junk near-zero-confidence edges did not explode anything
+    assert float(jnp.abs(sim3.trans(out)).max()) < 1e3
+
+
+def test_pgo_stress_damping_schedule_robustness():
+    """Two different LM damping schedules must both converge on the
+    ill-conditioned graph — the answer may not hinge on the invented
+    4.0/0.5 factors (reference uses pypose TrustRegion internals,
+    slam.py:125-127)."""
+    cfg_a = PGOConfig(max_steps=40, lambda_up=4.0, lambda_down=0.5)
+    cfg_b = PGOConfig(max_steps=40, lambda_up=10.0, lambda_down=0.2)
+    _, _, out_a, info_a = _run_stress(cfg_a)
+    gt, _, out_b, info_b = _run_stress(cfg_b)
+    for info, out in [(info_a, out_a), (info_b, out_b)]:
+        assert np.isfinite(np.asarray(out)).all()
+        assert float(info["loss"]) < 0.05 * float(info["loss0"])
+    # both schedules land on comparable optima
+    la, lb = float(info_a["loss"]), float(info_b["loss"])
+    assert la < 3 * lb and lb < 3 * la, (la, lb)
+    assert abs(ate(out_a, gt) - ate(out_b, gt)) < 0.3
+
+
+def test_pgo_max_step_norm_guards_bad_linearization():
+    """With the trust-region step cap disabled (huge max_step_norm), the
+    solver must still not produce NaNs thanks to LM rejection; with the cap
+    it must converge at least as well. Pins the max_step_norm semantics."""
+    cfg_cap = PGOConfig(max_steps=40, max_step_norm=1.0)
+    cfg_wild = PGOConfig(max_steps=40, max_step_norm=1e6)
+    gt, init, out_cap, info_cap = _run_stress(cfg_cap)
+    _, _, out_wild, info_wild = _run_stress(cfg_wild)
+    assert np.isfinite(np.asarray(out_cap)).all()
+    assert np.isfinite(np.asarray(out_wild)).all()
+    assert float(info_cap["loss"]) <= 1.5 * float(info_wild["loss0"])
+    assert float(info_cap["loss"]) <= 2.0 * float(info_wild["loss"]) or (
+        float(info_cap["loss"]) < 0.05 * float(info_cap["loss0"]))

@@ -339,18 +339,32 @@ class OnlineSLAM:
                       save_confs=True, save_ply=True, gt_poses=None,
                       gt_depths=None, gt_intrinsics=None):
         """Dump the artifact set consumed by the eval/vis tools (reference:
-        slam.py:338-421): trajectory/scales/images/depths/confs/intrinsics/
-        pointcloud.ply/view_graph.npz."""
+        slam.py:338-421).
+
+        Artifact schema (all plain arrays, no pickled objects):
+          trajectory.npy  [V,4,4]  cam->world per view (best node)
+          scales.npy      [V,1]    per-view depth scale
+          images.npy      [V,H,W,3] float32 in [0,1] (SLAM input resolution)
+          depths.npy      [V,h,w]  unscaled model depths
+          confs.npz       confs [V,h,w] + thres scalar
+          intrinsics.npy  [V,3,3]
+          pointcloud.ply  binary PLY, colored whenever images are available
+                          (resized to the depth resolution if they differ)
+          view_graph.npz  edges [E,2] int32 (view i connected to view j),
+                          loop_min_dist scalar, view_names [V] str
+          gt_*.npy        optional ground truth passthrough
+        """
         os.makedirs(output_folder, exist_ok=True)
-        if save_view_graph and self.lc_detector is not None:
+        if save_view_graph:
+            vg = self.get_view_graph()
+            vg_edges = np.asarray(
+                [(v, j) for v, js in vg.items() for j in js],
+                np.int32).reshape(-1, 2)
+            loop_min = (self.lc_detector.loop_dist_min
+                        if self.lc_detector is not None else 0)
             np.savez(os.path.join(output_folder, "view_graph.npz"),
-                     view_graph=np.asarray(self.get_view_graph(), dtype=object),
-                     loop_min_dist=self.lc_detector.loop_dist_min,
+                     edges=vg_edges, loop_min_dist=loop_min,
                      view_names=np.asarray(self.view_names))
-        elif save_view_graph:
-            np.savez(os.path.join(output_folder, "view_graph.npz"),
-                     view_graph=np.asarray(self.get_view_graph(), dtype=object),
-                     loop_min_dist=0, view_names=np.asarray(self.view_names))
 
         best = [self.graph.best_node(v) for v in range(self.view_num)]
         poses, scales = [], []
@@ -383,9 +397,15 @@ class OnlineSLAM:
 
             masks = confs > self.conf_thres
             world_pts = unproject_views(depths * scales[..., None], intris, poses)
-            colors = images[masks] if images.shape[:3] == masks.shape else None
+            if images.shape[:3] != masks.shape:
+                # stored RGB resolution differs from the SLAM pointmap
+                # resolution: resize instead of silently dropping colors
+                import cv2
+
+                h, w = masks.shape[1:3]
+                images = np.stack([cv2.resize(im, (w, h)) for im in images])
             write_ply(os.path.join(output_folder, "pointcloud.ply"),
-                      world_pts[masks], colors)
+                      world_pts[masks], images[masks])
         if gt_poses is not None:
             np.save(os.path.join(output_folder, "gt_poses.npy"),
                     np.asarray(gt_poses, np.float32))
