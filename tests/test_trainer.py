@@ -43,3 +43,86 @@ def test_trainer_fit_and_resume(scannet_root, tmp_path):  # noqa: F811
     assert trainer2.start_epoch >= 1
     np.testing.assert_allclose(
         np.asarray(trainer2.state.step), np.asarray(state.step))
+
+
+def test_smoothed_value_and_metric_logger():
+    from vista_slam_tpu.train.metrics import MetricLogger, SmoothedValue
+
+    sv = SmoothedValue(window_size=3)
+    for v in [1.0, 100.0, 2.0, 3.0]:
+        sv.update(v)
+    # window = [100, 2, 3] -> median 3, global avg over all 4
+    assert sv.median == 3.0
+    assert abs(sv.global_avg - 26.5) < 1e-9
+    assert sv.value == 3.0 and sv.max == 100.0
+
+    ml = MetricLogger(window_size=4)
+    ml.update(loss=1.0, lr=0.1)
+    ml.update(loss=2.0, lr=0.1)
+    assert ml.loss.median in (1.0, 1.5, 2.0)
+    assert "loss" in ml.summary()
+
+
+def test_alpha_actually_reaches_the_loss(scannet_root, tmp_path):  # noqa: F811
+    """The coarse-to-fine schedule must change the optimized objective
+    (reference: train.py:466-468); a fixed default would make alpha dead."""
+    import jax.numpy as jnp
+
+    trainer = make_trainer(scannet_root, tmp_path, epochs=1)
+    trainer.init_state(resume=False)
+    trainer.loader.set_epoch(0)
+    batch = trainer.shard_batch(next(iter(trainer.loader)))
+    with trainer.mesh:
+        l_a, _ = trainer.eval_loss_fn(trainer.state.params, batch, 0.4)
+        l_b, _ = trainer.eval_loss_fn(trainer.state.params, batch, 0.0)
+    assert abs(float(l_a) - float(l_b)) > 1e-6
+
+
+def test_non_finite_loss_aborts(scannet_root, tmp_path):  # noqa: F811
+    """NaN batch -> FloatingPointError with diagnostics
+    (reference: train.py:287-290)."""
+    trainer = make_trainer(scannet_root, tmp_path, epochs=1)
+    trainer.init_state(resume=False)
+
+    poisoned = {}
+
+    class PoisonLoader:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def set_epoch(self, e):
+            self.inner.set_epoch(e)
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __iter__(self):
+            for b in self.inner:
+                b["main"]["img"] = np.full_like(b["main"]["img"], np.nan)
+                yield b
+
+    trainer.loader = PoisonLoader(trainer.loader)
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        trainer.train_one_epoch(0)
+
+
+def test_best_checkpoint_and_tensorboard(scannet_root, tmp_path):  # noqa: F811
+    import os
+
+    trainer = make_trainer(scannet_root, tmp_path, epochs=2)
+    trainer.cfg.tensorboard = True
+    trainer.writer = __import__(
+        "vista_slam_tpu.train.metrics", fromlist=["ScalarWriter"]
+    ).ScalarWriter(os.path.join(trainer.cfg.output_dir, "tb"), enabled=True)
+    trainer.init_state(resume=False)
+    trainer.fit()
+    out = trainer.cfg.output_dir
+    # best checkpoint exists and tracks a real epoch
+    assert os.path.isdir(os.path.join(out, "checkpoints_best"))
+    assert trainer.best_epoch >= 0
+    assert np.isfinite(trainer.best_so_far)
+    # scalar events were written (tensorboard event file or jsonl fallback)
+    tb_dir = os.path.join(out, "tb")
+    files = os.listdir(tb_dir)
+    assert any(f.startswith("events.out") or f == "scalars.jsonl"
+               for f in files), files

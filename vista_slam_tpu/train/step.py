@@ -82,7 +82,7 @@ def split_train_outputs(out: dict, n_support: int, batch: int):
 
 
 def make_loss_fn(model: STA, n_support: int):
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, conf_alpha=0.4):
         out = model.apply(params, batch["main"]["img"], batch["support_imgs"],
                           method=STA.train_forward)
         B = batch["main"]["img"].shape[0]
@@ -91,14 +91,18 @@ def make_loss_fn(model: STA, n_support: int):
             jax.tree_util.tree_map(lambda x, i=i: x[i], batch["supports"])
             for i in range(n_support)
         ]
-        loss, details = sta_criterion(batch["main"], gt_supports, mains, supports)
+        loss, details = sta_criterion(batch["main"], gt_supports, mains,
+                                      supports, conf_alpha=conf_alpha)
         return loss, details
 
     return loss_fn
 
 
 def make_train_step(model: STA, optimizer, mesh, n_support: int):
-    """Build (init_fn, step_fn) with sharding constraints over the mesh."""
+    """Build (init_fn, step_fn) with sharding constraints over the mesh.
+    ``step_fn(state, batch, conf_alpha)`` takes the coarse-to-fine confidence
+    alpha as a traced scalar (reference schedule: train.py:466-468), so the
+    per-epoch schedule changes values without recompiling."""
     loss_fn = make_loss_fn(model, n_support)
 
     def init_fn(params):
@@ -106,9 +110,9 @@ def make_train_step(model: STA, optimizer, mesh, n_support: int):
         params = jax.device_put(params, shardings)
         return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
-    def step_fn(state: TrainState, batch):
+    def step_fn(state: TrainState, batch, conf_alpha=0.4):
         (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch)
+            state.params, batch, conf_alpha)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss, details

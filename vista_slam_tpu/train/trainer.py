@@ -4,9 +4,11 @@ Capability-matched to the reference trainer (reference:
 vista_slam/sta_model/train.py:331-478 and utils/croco_misc.py):
   * per-iteration warmup+cosine LR, AdamW(0.9, 0.95), grad clip 1.0
   * per-epoch test evaluation with best-checkpoint tracking
-  * coarse-to-fine confidence alpha schedule (train.py:466-468)
+  * coarse-to-fine confidence alpha schedule fed into the loss as a traced
+    scalar (train.py:466-468)
   * checkpoint-last / checkpoint-best with optimizer + epoch state (orbax)
-  * JSON-lines log.txt metrics
+  * JSON-lines log.txt metrics, windowed MetricLogger smoothing, and
+    TensorBoard scalars behind cfg.tensorboard (train.py:316-323,428-431)
 TPU redesign: DDP/AMP/GradScaler are replaced by one jitted step over a
 (dp, tp) mesh (train/step.py); data sharding replaces the rank sampler.
 """
@@ -27,6 +29,7 @@ from ..models.sta import STA, STAConfig
 from ..parallel.mesh import make_mesh
 from ..utils.logging import Channel, log
 from .data import TrainLoader, build_dataset
+from .metrics import MetricLogger, ScalarWriter
 from .step import TrainState, make_loss_fn, make_optimizer, make_train_step
 
 
@@ -49,6 +52,8 @@ class TrainConfig:
     alpha_init: float = 0.4
     seed: int = 0
     save_freq: int = 1
+    tensorboard: bool = False  # scalar event files under output_dir/tb
+    log_every: int = 20        # windowed-metric console cadence (iterations)
     model: dict = dataclasses.field(default_factory=dict)
 
     @property
@@ -89,19 +94,23 @@ class Trainer:
         self.state: TrainState | None = None
         self.start_epoch = 0
         self.best_so_far = float("inf")
+        self.best_epoch = -1
+        self.writer = ScalarWriter(os.path.join(cfg.output_dir, "tb"),
+                                   enabled=cfg.tensorboard)
+        self._global_step = 0
 
     # -- checkpointing (orbax) --------------------------------------------
-    def _ckpt_mgr(self):
+    def _ckpt_mgr(self, name: str = "checkpoints"):
         import orbax.checkpoint as ocp
 
-        path = os.path.abspath(os.path.join(self.cfg.output_dir, "checkpoints"))
+        path = os.path.abspath(os.path.join(self.cfg.output_dir, name))
         return ocp.CheckpointManager(path, options=ocp.CheckpointManagerOptions(
             max_to_keep=3, create=True))
 
-    def save_checkpoint(self, epoch: int, best: float):
+    def save_checkpoint(self, epoch: int, best: float, name: str = "checkpoints"):
         import orbax.checkpoint as ocp
 
-        mgr = self._ckpt_mgr()
+        mgr = self._ckpt_mgr(name)
         payload = {"params": jax.device_get(self.state.params),
                    "opt_state": jax.device_get(self.state.opt_state),
                    "step": int(self.state.step),
@@ -143,19 +152,32 @@ class Trainer:
 
     def train_one_epoch(self, epoch: int) -> dict:
         self.loader.set_epoch(epoch)
+        alpha = _alpha_schedule(self.cfg, epoch)
+        meters = MetricLogger(window_size=self.cfg.log_every)
         losses = []
         t0 = time.time()
         with self.mesh:
             for i, batch in enumerate(self.loader):
                 batch = self.shard_batch(batch)
-                self.state, loss, details = self.jit_step(self.state, batch)
+                it0 = time.time()
+                self.state, loss, details = self.jit_step(self.state, batch, alpha)
                 loss = float(loss)
                 if not np.isfinite(loss):
+                    # abort with diagnostics (reference: train.py:287-290)
                     raise FloatingPointError(
                         f"non-finite loss at epoch {epoch} step {i}: "
                         f"{jax.tree_util.tree_map(float, details)}")
                 losses.append(loss)
+                meters.update(loss=loss, iter_s=time.time() - it0)
+                self._global_step += 1
+                if self.cfg.tensorboard:
+                    self.writer.add_scalar("train/loss_iter", loss,
+                                           self._global_step)
+                if (i + 1) % self.cfg.log_every == 0:
+                    log(f"epoch {epoch} it {i + 1}: {meters.summary()}",
+                        Channel.INFO)
         return {"loss": float(np.mean(losses)) if losses else float("nan"),
+                "loss_median": meters.loss.median if losses else float("nan"),
                 "steps": len(losses), "time_s": time.time() - t0}
 
     def test_one_epoch(self, epoch: int) -> dict:
@@ -185,9 +207,20 @@ class Trainer:
             stats = {**train_stats, **test_stats, "alpha": alpha}
             log(f"epoch {epoch}: {stats}", Channel.INFO)
             self._write_log(epoch, stats)
+            if self.cfg.tensorboard:
+                for k, v in stats.items():
+                    if np.isscalar(v) and np.isfinite(v):
+                        self.writer.add_scalar(f"epoch/{k}", float(v), epoch)
+                self.writer.flush()
             metric = test_stats.get("test_loss", train_stats["loss"])
             if np.isfinite(metric) and metric < self.best_so_far:
                 self.best_so_far = metric
+                self.best_epoch = epoch
+                # separate best checkpoint (reference: croco_misc.py:297-310
+                # checkpoint-best)
+                self.save_checkpoint(epoch, self.best_so_far,
+                                     name="checkpoints_best")
             if epoch % self.cfg.save_freq == 0:
                 self.save_checkpoint(epoch, self.best_so_far)
+        self.writer.close()
         return self.state
