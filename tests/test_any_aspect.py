@@ -41,3 +41,30 @@ def test_portrait_transposes_back(model_params):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(out["pose"]), np.asarray(want["pose"]),
                                atol=1e-6)
+
+
+def test_mixed_forward_all_landscape_matches_plain():
+    """mixed_forward with no portrait samples must equal the plain forward."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vista_slam_tpu.models.sta import STA, STAConfig
+
+    cfg = STAConfig(img_size=(32, 48), patch_size=16, enc_dim=32, enc_depth=1,
+                    enc_heads=2, dec_dim=32, dec_depth=4, dec_heads=2,
+                    mlp_ratio=2, compute_dtype=jnp.float32)
+    model = STA(cfg)
+    rng = np.random.default_rng(0)
+    img1 = jnp.asarray(rng.standard_normal((2, 32, 48, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.standard_normal((2, 32, 48, 3)).astype(np.float32))
+    import jax
+
+    params = model.init(jax.random.PRNGKey(0), img1, img2)
+    plain = model.apply(params, img1, img2)
+    mask = jnp.zeros(2, bool)
+    mixed = model.apply(params, img1, img2, mask, mask,
+                        method=STA.mixed_forward)
+    np.testing.assert_allclose(np.asarray(mixed["pts3d"]),
+                               np.asarray(plain["pts3d"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mixed["pose"]),
+                               np.asarray(plain["pose"]), atol=1e-5)

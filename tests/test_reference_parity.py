@@ -80,6 +80,61 @@ def test_reference_parity_reduced():
                  dec_dim=48, dec_depth=12, dec_heads=4, mlp_ratio=2)
 
 
+def test_reference_parity_mixed_aspect():
+    """Mixed portrait/landscape batch vs the reference's ManyAR_PatchEmbed +
+    transpose_to_landscape path (patch_embed.py:40-68, utils/misc.py:36-78).
+    Non-square 64x96 buffer; sample 0 landscape, sample 1 portrait (stored
+    transposed)."""
+    torch.manual_seed(1)
+    Hh, Ww = 64, 96
+    tm = load_reference_sta(
+        img_size=(Hh, Ww), patch_size=16,
+        enc_embed_dim=64, enc_depth=2, enc_num_heads=4,
+        dec_embed_dim=48, dec_depth=12, dec_num_heads=4, mlp_ratio=2,
+        patch_embed_cls="ManyAR_PatchEmbed")
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_state_dict(sd, enc_depth=2, dec_depth=12)
+
+    cfg = STAConfig(img_size=(Hh, Ww), patch_size=16, enc_dim=64, enc_depth=2,
+                    enc_heads=4, dec_dim=48, dec_depth=12, dec_heads=4,
+                    mlp_ratio=2, compute_dtype=jnp.float32)
+    jm = STA(cfg)
+
+    rng = np.random.default_rng(1)
+    img1 = rng.standard_normal((2, Hh, Ww, 3)).astype(np.float32)
+    img2 = rng.standard_normal((2, Hh, Ww, 3)).astype(np.float32)
+    # sample 0 landscape (64, 96); sample 1 portrait (96, 64), stored
+    # transposed in the landscape buffer
+    ts = torch.tensor([[Hh, Ww], [Ww, Hh]])
+
+    t1 = torch.from_numpy(img1).permute(0, 3, 1, 2)
+    t2 = torch.from_numpy(img2).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        f1, p1 = tm._encode_image(t1, ts, normalize=False)
+        f2, p2 = tm._encode_image(t2, ts, normalize=False)
+        d12, d21 = tm._decode_stereo(f1, f2, p1, p2)
+        pose12 = tm.head_pose_s(d12[-1][:, 0, :])
+        in12 = [f1] + [t[:, 1:, :].float() for t in d12]
+        in21 = [f2] + [t[:, 1:, :].float() for t in d21]
+        r12 = tm.head_pts(in12, ts)
+        r21 = tm.head_pts(in21, ts)
+
+    from vista_slam_tpu.models.sta import predict_pair_mixed_aspect
+
+    jout = predict_pair_mixed_aspect(
+        jm, params, jnp.asarray(img1), jnp.asarray(img2),
+        np.asarray([[Hh, Ww], [Ww, Hh]]), np.asarray([[Hh, Ww], [Ww, Hh]]))
+
+    np.testing.assert_allclose(np.asarray(jout["pts3d"][:2]),
+                               r12["pts3d"].numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(jout["pts3d"][2:]),
+                               r21["pts3d"].numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(jout["conf"][:2]),
+                               r12["conf"].numpy(), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(jout["pose"][:2]),
+                               pose12["pose"].numpy(), atol=2e-3)
+
+
 @pytest.mark.skipif(os.environ.get("VSLAM_FULL_PARITY") != "1",
                     reason="full-size parity is minutes on 1 CPU core; "
                            "set VSLAM_FULL_PARITY=1 (result recorded in "

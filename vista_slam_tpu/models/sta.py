@@ -155,13 +155,15 @@ class DecoderBlock(nn.Module):
     use_flash: bool | None
 
     @nn.compact
-    def __call__(self, x, y, rope):
+    def __call__(self, x, y, rope, rope_y=None):
+        if rope_y is None:
+            rope_y = rope
         h = _ln("norm1")(x).astype(self.dtype)
         x = x + SelfAttention(self.dim, self.heads, self.dtype, self.use_flash, name="attn")(h, rope)
         y_ = _ln("norm_y")(y).astype(self.dtype)
         h = _ln("norm2")(x).astype(self.dtype)
         x = x + CrossAttention(self.dim, self.heads, self.dtype, self.use_flash, name="cross_attn")(
-            h, y_, rope, rope)
+            h, y_, rope, rope_y)
         h = _ln("norm3")(x).astype(self.dtype)
         x = x + Mlp(self.dim, self.dim * self.mlp_ratio, self.dtype, name="mlp")(h)
         return x
@@ -241,20 +243,26 @@ class STA(nn.Module):
         direction 2.
         """
         c = self.cfg
+        gh, gw = grid if grid is not None else c.grid
+        rope = self._dec_rope(gh, gw)
+        return self._decode_pair_impl(f1, f2, rope, rope)
+
+    def _decode_pair_impl(self, f1, f2, rope_x, rope_y):
+        """Decoder body with explicit (possibly per-sample) RoPE tables for
+        the query stream [f1; f2] and the memory stream [f2; f1]."""
+        c = self.cfg
         B = f1.shape[0]
         x = jnp.concatenate([f1, f2], axis=0).astype(c.compute_dtype)
         x = self.decoder_embed(x)
         pose_tok = jnp.broadcast_to(
             self.pose_token.astype(c.compute_dtype), (2 * B, 1, c.dec_dim))
         x = jnp.concatenate([pose_tok, x], axis=1)
-        gh, gw = grid if grid is not None else c.grid
-        rope = self._dec_rope(gh, gw)
 
         hook_after = {c.hooks[1] - 1, c.hooks[2] - 1}  # block indices (1-based)
         mids = {}
         for i, blk in enumerate(self.dec_blocks):
             y = jnp.concatenate([x[B:], x[:B]], axis=0)  # swap streams
-            x = blk(x, y, rope)
+            x = blk(x, y, rope_x, rope_y)
             if (i + 1) in hook_after:
                 mids[i + 1] = x.astype(jnp.float32)
         final = self.dec_norm(x).astype(jnp.float32)
@@ -293,6 +301,80 @@ class STA(nn.Module):
         f2 = self.encode(img2)
         return self.decode_and_heads(f1, f2, grid)
 
+    # -- mixed-aspect (ManyAR) path -------------------------------------
+    def _mixed_rope(self, gh: int, gw: int, dim_head: int, n_special: int,
+                    portrait_mask: jnp.ndarray):
+        """Per-sample RoPE tables: portrait samples are stored transposed in
+        the landscape buffer, so their token positions index a (gw, gh) grid
+        (reference: sta_model/patch_embed.py:40-68)."""
+        c = self.cfg
+        tl = rope2d_tables(gh, gw, dim_head, c.rope_base, n_special)
+        tp = rope2d_tables(gw, gh, dim_head, c.rope_base, n_special)
+        m = portrait_mask[:, None, None, None]  # [B,1,1,1] vs [B,heads,N,D]
+        cos = jnp.where(m, tp[0][None, None], tl[0][None, None])
+        sin = jnp.where(m, tp[1][None, None], tl[1][None, None])
+        return cos, sin
+
+    def encode_mixed(self, img: jnp.ndarray, portrait_mask: jnp.ndarray):
+        """Encode a batch that mixes portrait and landscape aspect ratios
+        (the reference's ManyAR_PatchEmbed capability, patch_embed.py:31-68).
+
+        img [B, H, W, 3] is the landscape storage buffer (W >= H); portrait
+        samples are stored spatially transposed and flagged in
+        portrait_mask [B]. The patch projection runs on both orientations
+        (the conv kernel is not transpose-symmetric) and each sample selects
+        its own; RoPE positions follow per sample.
+        """
+        c = self.cfg
+        xl = self.patch_proj(img.astype(c.compute_dtype))
+        xp = self.patch_proj(jnp.swapaxes(img, 1, 2).astype(c.compute_dtype))
+        b, gh, gw, d = xl.shape
+        x = jnp.where(portrait_mask[:, None, None],
+                      xp.reshape(b, gh * gw, d), xl.reshape(b, gh * gw, d))
+        rope = self._mixed_rope(gh, gw, c.enc_dim // c.enc_heads, 0,
+                                portrait_mask)
+        for blk in self.enc_blocks:
+            x = blk(x, rope)
+        return x.astype(jnp.float32)
+
+    def mixed_forward(self, img1: jnp.ndarray, img2: jnp.ndarray,
+                      portrait1: jnp.ndarray, portrait2: jnp.ndarray):
+        """Full two-view forward over a mixed-aspect batch. Outputs stay in
+        the landscape buffer layout (portrait samples' dense maps are
+        transposed relative to their true orientation), matching the
+        reference's transpose_to_landscape contract (utils/misc.py:36-78):
+        consumers un-transpose portrait samples via their true_shape.
+        """
+        c = self.cfg
+        p = c.patch_size
+        gh, gw = img1.shape[1] // p, img1.shape[2] // p
+        f1 = self.encode_mixed(img1, portrait1)
+        f2 = self.encode_mixed(img2, portrait2)
+
+        hd = c.dec_dim // c.dec_heads
+        mx = jnp.concatenate([portrait1, portrait2])  # query stream [f1; f2]
+        my = jnp.concatenate([portrait2, portrait1])  # memory stream [f2; f1]
+        rope_x = self._mixed_rope(gh, gw, hd, 1, mx)
+        rope_y = self._mixed_rope(gh, gw, hd, 1, my)
+        h6, h9, final = self._decode_pair_impl(f1, f2, rope_x, rope_y)
+
+        enc = jnp.concatenate([f1, f2], axis=0).astype(jnp.float32)
+        hooks = [enc, h6[:, 1:], h9[:, 1:], final[:, 1:]]
+        # run the pointmap head in both orientations and select per sample
+        # (reference runs it per aspect subset, utils/misc.py:64-66)
+        raw_l = self.head_pts(hooks, (gh * p, gw * p))
+        raw_p = self.head_pts(hooks, (gw * p, gh * p))
+        raw = jnp.where(mx[:, None, None, None],
+                        jnp.swapaxes(raw_p, 1, 2), raw_l)
+        pts3d, conf = postprocess_pts3d(raw, c.conf_offset)
+        pose_out = self.head_pose(final[:, 0])
+        return {
+            "pts3d": pts3d,
+            "conf": conf,
+            "pose": pose_out["pose"],
+            "pose_conf": pose_out["conf"],
+        }
+
     def train_forward(self, main_img: jnp.ndarray, support_imgs: jnp.ndarray):
         """Training forward over one main view and S support views
         (reference: sta_model.py:247-291 — encode main once, decode each
@@ -324,7 +406,8 @@ def predict_pair_any_aspect(model: STA, params, img1: jnp.ndarray,
     sta_model/patch_embed.py:31-68): portrait inputs are spatially
     transposed into landscape, predicted, and the dense outputs transposed
     back; batches must share one aspect (the training sampler guarantees
-    this, reference: datasets/base/batched_sampler.py).
+    this, reference: datasets/base/batched_sampler.py). For batches MIXING
+    aspects use predict_pair_mixed_aspect.
     """
     h, w = img1.shape[1:3]
     portrait = h > w
@@ -336,6 +419,29 @@ def predict_pair_any_aspect(model: STA, params, img1: jnp.ndarray,
         out = dict(out)
         out["pts3d"] = jnp.swapaxes(out["pts3d"], 1, 2)
         out["conf"] = jnp.swapaxes(out["conf"], 1, 2)
+    return out
+
+
+def predict_pair_mixed_aspect(model: STA, params, img1, img2,
+                              true_shape1, true_shape2):
+    """Mixed portrait/landscape batches (the reference's ManyAR capability,
+    patch_embed.py:40-68 + utils/misc.py:36-78).
+
+    img1/img2 [B, H, W, 3] with W >= H: every sample lives in the landscape
+    storage buffer, portrait samples stored spatially transposed;
+    true_shape* [B, 2] gives each sample's actual (h, w). Static shapes
+    forbid per-sample ragged outputs, so — exactly like the reference's
+    transpose_to_landscape scatter (utils/misc.py:69-76) — the dense maps
+    are returned in buffer layout with a portrait mask for consumers to
+    un-transpose per sample.
+    """
+    ts1 = jnp.asarray(true_shape1)
+    ts2 = jnp.asarray(true_shape2)
+    p1 = ts1[:, 0] > ts1[:, 1]
+    p2 = ts2[:, 0] > ts2[:, 1]
+    out = model.apply(params, img1, img2, p1, p2, method=STA.mixed_forward)
+    out = dict(out)
+    out["portrait_mask"] = jnp.concatenate([p1, p2])
     return out
 
 
