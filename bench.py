@@ -3,15 +3,23 @@
 
 Measures the SLAM hot path (reference: vista_slam/slam.py:153-189 — decoder
 + DPT pointmap heads on both directions + pose head + shared-intrinsics
-estimation) at the pair-batched batch size the online pipeline uses.
+estimation) at the pair-batched batch size the online pipeline uses, then
+the DEVICE-ONLY throughput (inputs resident, N iterations inside one
+lax.fori_loop program so per-dispatch relay cost amortizes away) and the
+implied MFU against the v5e bf16 peak.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "device_pairs_per_sec": N, "mfu": N, ...}
 
 vs_baseline compares against an estimated 20 pairs/sec for the reference's
 serial per-pair A100 decode (the reference publishes no number —
 BASELINE.md; estimate documented there). The driver-set target is >= 2x A100
 on one v5e chip, i.e. vs_baseline >= 2.0.
+
+``--flash`` additionally measures the Pallas flash-attention kernel against
+the einsum path at 224x224 and at the shipped high-res 384x512 config
+(crossover evidence for BASELINE.md).
 """
 
 import json
@@ -21,18 +29,109 @@ import time
 import numpy as np
 
 A100_REFERENCE_PAIRS_PER_SEC = 20.0  # documented estimate, see BASELINE.md
+V5E_BF16_PEAK_FLOPS = 197e12  # per chip
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _flops_of(lowered_compiled, fallback):
+    try:
+        cost = lowered_compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = float(cost["flops"])
+        if f > 0:
+            return f, "xla_cost_analysis"
+    except Exception:
+        pass
+    return fallback, "analytic_estimate"
+
+
+def _analytic_decode_flops(cfg, batch):
+    """FLOPs for one pair-batched decode_and_heads call (both directions =
+    2*batch rows through the decoder + heads)."""
+    n = cfg.num_patches + 1
+    rows = 2 * batch
+    d, h = cfg.dec_dim, cfg.dec_heads
+    per_block = (
+        2 * n * (3 * d * d) +            # qkv
+        2 * 2 * n * n * d +              # self-attn scores + weighted sum
+        2 * n * d * d +                  # self proj
+        2 * n * (3 * d * d) +            # cross projq/k/v (approx)
+        2 * 2 * n * n * d +              # cross attention
+        2 * n * d * d +                  # cross proj
+        2 * 2 * n * d * d * cfg.mlp_ratio  # mlp fc1+fc2
+    )
+    dec = cfg.dec_depth * per_block + 2 * n * cfg.enc_dim * cfg.dec_dim
+    # DPT head: dominated by the fusion convs at up to full resolution
+    Hh, Ww = cfg.img_size
+    feat = 256
+    dpt = 10 * 2 * (Hh // 2) * (Ww // 2) * feat * feat * 9 / 4  # rough conv stack
+    return rows * (dec + dpt)
+
+
+def device_loop_time(jit_fn, args, iters, warmup=True):
+    """Wall time per iteration of a device-resident fori_loop program."""
+    out = jit_fn(*args)
+    out.block_until_ready()
+    t0 = time.time()
+    out = jit_fn(*args)
+    out.block_until_ready()
+    return (time.time() - t0) / iters
+
+
+def make_decode_loop(model, iters):
+    import jax
+    import jax.numpy as jnp
+
+    def loop(params, f1, f2):
+        def body(i, carry):
+            f1c, acc = carry
+            out = model.apply(params, f1c, f2,
+                              method=type(model).decode_and_heads)
+            # data dependence so XLA cannot hoist/DCE the loop body
+            f1n = f1c + (out["pose"].sum() * 1e-24).astype(f1c.dtype)
+            return (f1n, acc + out["pose_conf"].sum())
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (f1, jnp.zeros((), jnp.float32)))
+        return acc
+
+    return jax.jit(loop)
+
+
+def measure_device_decode(cfg, params, batch, iters=50):
+    import jax
+    import jax.numpy as jnp
+
+    from vista_slam_tpu.models.sta import STA
+
+    model = STA(cfg)
+    rng = np.random.default_rng(0)
+    n_tokens = cfg.num_patches
+    f1 = jnp.asarray(rng.standard_normal((batch, n_tokens, cfg.enc_dim)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((batch, n_tokens, cfg.enc_dim)), jnp.float32)
+
+    jloop = make_decode_loop(model, iters)
+    dt_iter = device_loop_time(jloop, (params, f1, f2), iters)
+
+    # FLOPs of ONE decode call for MFU
+    single = jax.jit(lambda p, a, b: model.apply(
+        p, a, b, method=type(model).decode_and_heads))
+    lowered = single.lower(params, f1, f2).compile()
+    flops, src = _flops_of(lowered, _analytic_decode_flops(cfg, batch))
+    return dt_iter, flops, src
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    from vista_slam_tpu.models.sta import STAConfig, init_params_host
+    from vista_slam_tpu.models.sta import STA, STAConfig, init_params_host
     from vista_slam_tpu.slam.frontend import FrontendEngine
+
+    flash_mode = "--flash" in sys.argv
 
     log(f"devices: {jax.devices()}")
     cfg = STAConfig(compute_dtype=jnp.bfloat16)
@@ -81,21 +180,98 @@ def main():
     dt = time.time() - t0
     pairs_per_sec = batch * iters / dt
 
-    # encoder throughput as context (one encode per keyframe)
+    # ---- device-only decode throughput + MFU (VERDICT round-1 item 3) ----
+    loop_iters = 50
+    log(f"compiling device-resident {loop_iters}-iter decode loop ...")
+    dt_iter, flops, flops_src = measure_device_decode(cfg, params, batch,
+                                                      loop_iters)
+    device_pairs_per_sec = batch / dt_iter
+    mfu = flops / dt_iter / V5E_BF16_PEAK_FLOPS
+    log(f"device decode: {dt_iter * 1e3:.2f} ms/iter (batch {batch}) -> "
+        f"{device_pairs_per_sec:.1f} pairs/s, {flops / 1e9:.1f} GFLOP/call "
+        f"({flops_src}), MFU {mfu * 100:.1f}%")
+
+    # encoder: end-to-end and device-resident
     img = jnp.asarray(rng.standard_normal((1,) + cfg.img_size + (3,)), jnp.float32)
     engine._encode(params, img).block_until_ready()
     t0 = time.time()
     for _ in range(10):
         engine._encode(params, img).block_until_ready()
-    log(f"encoder: {10 / (time.time() - t0):.2f} frames/s")
-    log(f"decode: {pairs_per_sec:.2f} pairs/s (batch {batch}, {iters} iters, {dt:.2f}s)")
+    enc_fps = 10 / (time.time() - t0)
+
+    def enc_loop(params, im):
+        def body(i, carry):
+            im_c, acc = carry
+            f = model.apply(params, im_c, method=type(model).encode)
+            return (im_c + (f.sum() * 1e-24).astype(im_c.dtype), acc + f.mean())
+
+        _, acc = jax.lax.fori_loop(0, loop_iters, body,
+                                   (im, jnp.zeros((), jnp.float32)))
+        return acc
+
+    jenc = jax.jit(enc_loop)
+    enc_dt = device_loop_time(jenc, (params, img), loop_iters)
+    log(f"encoder: {enc_fps:.2f} frames/s end-to-end; "
+        f"{enc_dt * 1e3:.2f} ms/frame on device")
+    log(f"decode: {pairs_per_sec:.2f} pairs/s (batch {batch}, {iters} iters, "
+        f"{dt:.2f}s, incl. relay + host graph replay)")
+
+    extra = {}
+    if flash_mode:
+        extra["flash"] = flash_crossover(params)
 
     print(json.dumps({
         "metric": "sta_frontend_pairs_per_sec",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_sec / A100_REFERENCE_PAIRS_PER_SEC, 3),
+        "device_pairs_per_sec": round(device_pairs_per_sec, 1),
+        "device_decode_ms": round(dt_iter * 1e3, 2),
+        "mfu": round(mfu, 4),
+        "flops_per_call": flops,
+        "flops_source": flops_src,
+        "encoder_device_ms": round(enc_dt * 1e3, 2),
+        **extra,
     }))
+
+
+def flash_crossover(params_224):
+    """Time flash vs einsum attention inside the full decode at 224x224 and
+    at the high-res 384x512 config (VERDICT round-1 item 6)."""
+    import jax.numpy as jnp
+
+    from vista_slam_tpu.models.sta import STAConfig, init_params_host
+
+    results = {}
+    cases = [
+        ("224x224", STAConfig(compute_dtype=jnp.bfloat16), 8, params_224),
+        ("384x512", STAConfig(img_size=(384, 512), compute_dtype=jnp.bfloat16),
+         2, None),
+    ]
+    for name, base_cfg, batch, params in cases:
+        if params is None:
+            _, params = init_params_host(base_cfg, seed=0)
+            import jax
+
+            params = jax.device_put(params)
+        row = {}
+        for mode, use_flash in [("einsum", False), ("flash", True)]:
+            import dataclasses
+
+            cfg = dataclasses.replace(base_cfg, use_flash=use_flash)
+            log(f"[flash-crossover] {name} {mode}: compiling ...")
+            try:
+                dt_iter, _, _ = measure_device_decode(cfg, params, batch,
+                                                      iters=20)
+                row[mode] = {"ms_per_iter": round(dt_iter * 1e3, 2),
+                             "pairs_per_sec": round(batch / dt_iter, 1)}
+                log(f"[flash-crossover] {name} {mode}: "
+                    f"{dt_iter * 1e3:.2f} ms/iter")
+            except Exception as e:  # kernel may not support a shape
+                row[mode] = {"error": str(e)[:200]}
+                log(f"[flash-crossover] {name} {mode} FAILED: {e}")
+        results[name] = row
+    return results
 
 
 if __name__ == "__main__":

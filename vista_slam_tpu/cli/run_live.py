@@ -72,6 +72,10 @@ def main(argv=None):
     ap.add_argument("--output", default=None)
     ap.add_argument("--max-frames", type=int, default=0,
                     help="stop after N keyframes (0 = until interrupted)")
+    ap.add_argument("--idle-timeout", type=float, default=0.0,
+                    help="stop if the source delivers no frame for this many "
+                         "seconds (0 = wait forever); guards against dropped "
+                         "streams and lets finite sources (video files) end")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config, output_dir=args.output)
@@ -82,12 +86,18 @@ def main(argv=None):
     cam = LatestCamera(args.camera)
     res = tuple((cfg.get("model", {}) or {}).get("img_size", (224, 224)))
     log("live mode started — ctrl-c to stop and save", Channel.INFO)
+    last_frame_t = time.time()
     try:
         while True:
             frame = cam.read_latest()
             if frame is None:
+                if (args.idle_timeout
+                        and time.time() - last_frame_t > args.idle_timeout):
+                    log("no frames from source — stopping", Channel.WARNING)
+                    break
                 time.sleep(0.002)
                 continue
+            last_frame_t = time.time()
             rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             rgb, _, _ = crop_resize(rgb, None, None, res, w_edge=10, h_edge=10)
             inputs = to_model_inputs(rgb)
