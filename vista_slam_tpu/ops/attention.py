@@ -31,11 +31,15 @@ def mha(q, k, v, scale, use_flash: bool | None = None):
     """Dispatch between the XLA path and the Pallas flash kernel.
 
     ``use_flash=None`` picks flash automatically once the sequence is long
-    enough for tiling to pay off (128-token blocks).
+    enough for tiling to pay off. Measured on v5e (full decode+heads,
+    BASELINE.md "flash vs einsum"): at 197 tokens (224x224/16) einsum wins
+    (9.3 vs 11.5 ms/iter); at 769 tokens (384x512/16) flash wins 1.76x
+    (13.7 vs 24.0 ms/iter) — so the crossover sits between those and the
+    threshold is set at 512.
     """
     n = q.shape[-2]
     if use_flash is None:
-        use_flash = n >= 1024
+        use_flash = n >= 512
     if use_flash:
         from .pallas.flash import flash_attention
         return flash_attention(q, k, v, scale)
