@@ -33,6 +33,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--trace-dir", default=None,
+                    help="also capture a jax.profiler trace here")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")
@@ -77,6 +79,24 @@ def main():
         fb = jnp.tile(f2, (b2 // B, 1, 1))
         t = timeit(lambda: block(full(params, fa, fb)), max(args.iters // 2, 3))
         print(f"decode+heads B={b2}:   {t * 1e3:8.1f} ms  ({b2 / t:6.1f} pairs/s)")
+
+    # device-resident per-bucket table (relay RTT amortized inside one
+    # fori_loop program; same method as bench.py's MFU measurement)
+    import bench
+
+    print("\ndevice-resident decode+heads per SLAM bucket:")
+    for b in (1, 2, 4, 8):
+        dt, flops, src = bench.measure_device_decode(cfg, params, b, iters=30)
+        mfu = flops / dt / bench.V5E_BF16_PEAK_FLOPS
+        print(f"  bucket {b}: {dt * 1e3:7.2f} ms/iter  {b / dt:7.1f} pairs/s  "
+              f"{dt * 1e3 / b:6.2f} ms/pair  MFU {mfu * 100:5.1f}% ({src})")
+
+    if args.trace_dir:
+        print(f"\ncapturing jax.profiler trace to {args.trace_dir} ...")
+        with jax.profiler.trace(args.trace_dir):
+            for _ in range(3):
+                block(full(params, f1, f2))
+        print("trace written (inspect with tensorboard or xprof)")
 
 
 if __name__ == "__main__":
