@@ -89,3 +89,56 @@ model:
     assert "avg_ate_rmse" in summary
     assert os.path.exists(os.path.join(out, "tumrgbd_synth", "trajectory.npy"))
     assert os.path.exists(os.path.join(out, "tumrgbd_synth", "traj.png"))
+
+
+def test_evaluate_driver_7scenes(tmp_path):
+    """End-to-end 7-Scenes evaluation: depth->RGB reprojection loader +
+    SLAM + ATE + dense recon through the real CLI (reference:
+    evaluation_7scenes.py)."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "7scenes"
+    d = root / "chess" / "seq-01"
+    os.makedirs(d)
+    h, w = 480, 640
+    base = cv2.resize(rng.integers(0, 255, (60, 80, 3), np.uint8), (w, h),
+                      interpolation=cv2.INTER_CUBIC)
+    for i in range(6):
+        stem = f"frame-{i:06d}"
+        m = np.float32([[1, 0, 4 * i], [0, 1, 0]])
+        cv2.imwrite(str(d / f"{stem}.color.png"), cv2.warpAffine(base, m, (w, h)))
+        cv2.imwrite(str(d / f"{stem}.depth.png"), np.full((h, w), 2000, np.uint16))
+        T = np.eye(4)
+        T[:3, 3] = [0.05 * i, 0, 0]
+        np.savetxt(d / f"{stem}.pose.txt", T)
+
+    from vista_slam_tpu.cli.evaluate import main
+
+    out = str(tmp_path / "evalout")
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(f"""
+output_dir: {out}
+compute_dtype: float32
+stride: 1
+max_view_num: 10
+neighbor_edge_num: 2
+loop_edge_num: 1
+pgo_every: 500
+rel_pose_thres: -1.0
+model:
+  img_size: [64, 64]
+  enc_dim: 64
+  enc_depth: 2
+  enc_heads: 4
+  dec_dim: 48
+  dec_depth: 4
+  dec_heads: 4
+  mlp_ratio: 2
+""")
+    results = main(["--dataset", "7scenes", "--data-root", str(root),
+                    "--config", cfg_path, "--scenes", "chess"])
+    r = results["chess"]
+    assert np.isfinite(r["ate_rmse"])
+    assert "recon_chamfer" in r and np.isfinite(r["recon_chamfer"])
