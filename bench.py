@@ -211,8 +211,25 @@ def main():
 
     jenc = jax.jit(enc_loop)
     enc_dt = device_loop_time(jenc, (params, img), loop_iters)
+    img8 = jnp.asarray(rng.standard_normal((8,) + cfg.img_size + (3,)),
+                       jnp.float32)
+    enc_dt8 = device_loop_time(jenc, (params, img8), loop_iters)
+    enc_single = jax.jit(lambda p, im: model.apply(
+        p, im, method=type(model).encode))
+    enc_lowered = enc_single.lower(params, img).compile()
+    n = cfg.num_patches
+    enc_analytic = cfg.enc_depth * (
+        2 * n * (4 * cfg.enc_dim ** 2) + 2 * 2 * n * n * cfg.enc_dim
+        + 2 * 2 * n * cfg.enc_dim ** 2 * cfg.mlp_ratio)
+    enc_flops, enc_src = _flops_of(enc_lowered, enc_analytic)
+    enc_mfu = enc_flops / enc_dt / V5E_BF16_PEAK_FLOPS
+    enc_mfu8 = 8 * enc_flops / enc_dt8 / V5E_BF16_PEAK_FLOPS
     log(f"encoder: {enc_fps:.2f} frames/s end-to-end; "
-        f"{enc_dt * 1e3:.2f} ms/frame on device")
+        f"{enc_dt * 1e3:.2f} ms/frame on device, "
+        f"{enc_flops / 1e9:.1f} GFLOP/frame ({enc_src}), "
+        f"MFU {enc_mfu * 100:.1f}% at batch 1; batch-8 prefetch "
+        f"{enc_dt8 * 1e3:.2f} ms/iter = {8 / enc_dt8:.0f} frames/s, "
+        f"MFU {enc_mfu8 * 100:.1f}%")
     log(f"decode: {pairs_per_sec:.2f} pairs/s (batch {batch}, {iters} iters, "
         f"{dt:.2f}s, incl. relay + host graph replay)")
 
@@ -231,6 +248,9 @@ def main():
         "flops_per_call": flops,
         "flops_source": flops_src,
         "encoder_device_ms": round(enc_dt * 1e3, 2),
+        "encoder_mfu": round(enc_mfu, 4),
+        "encoder_batch8_frames_per_sec": round(8 / enc_dt8, 1),
+        "encoder_batch8_mfu": round(enc_mfu8, 4),
         **extra,
     }))
 

@@ -60,6 +60,43 @@ model:
     assert np.isfinite(traj).all()
 
 
+def test_encode_batch_prefetch_equivalence():
+    """Batch-encoded prefetch (offline stride path) must reproduce the
+    per-keyframe-encode trajectory: encoding is pure, so only the batching
+    changes."""
+    import jax.numpy as jnp
+
+    from vista_slam_tpu.models.sta import STAConfig, init_params
+    from vista_slam_tpu.slam.frontend import FrontendEngine
+    from vista_slam_tpu.slam.online_slam import OnlineSLAM
+
+    cfg = STAConfig(img_size=(64, 64), enc_dim=64, enc_depth=2, enc_heads=4,
+                    dec_dim=48, dec_depth=2, dec_heads=4, mlp_ratio=2,
+                    compute_dtype=jnp.float32)
+    _, params = init_params(cfg, seed=0)
+    engine = FrontendEngine(cfg, params)
+
+    rng = np.random.default_rng(3)
+    rgbs = [rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+            for _ in range(5)]
+
+    def run(prefetch: bool):
+        slam = OnlineSLAM(engine, max_view_num=16, neighbor_edge_num=2,
+                          loop_edge_num=0, pgo_every=10 ** 6,
+                          rel_pose_thres=-1.0)
+        feats = (engine.encode_batch(np.stack(rgbs)) if prefetch
+                 else [None] * len(rgbs))
+        for k, (rgb, feat) in enumerate(zip(rgbs, feats)):
+            slam.step({"rgb": rgb, "enc_feat": feat},
+                      force_pgo=(k == len(rgbs) - 1))
+        return np.stack([slam.get_view(v, filter_outlier=False)["pose"]
+                         for v in range(slam.view_num)])
+
+    traj_serial = run(prefetch=False)
+    traj_batched = run(prefetch=True)
+    np.testing.assert_allclose(traj_batched, traj_serial, atol=1e-4)
+
+
 def test_highres_config_engages_flash():
     """configs/highres.yaml must build an STAConfig whose attention runs the
     Pallas flash kernel (VERDICT round-1 weak #3: the kernel must live on a

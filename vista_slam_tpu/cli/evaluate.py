@@ -73,14 +73,24 @@ def evaluate_scene(slam, dataset, cfg, out_dir: str, do_recon: bool):
 
     gt_poses, gt_depths = [], []
     K = None
-    for idx, t in enumerate(inputs):
-        data = dataset[int(t)]
-        gt_poses.append(data["camera_pose"])
-        gt_depths.append(data["depth"])
-        K = data["intrinsic"]
-        slam.step({"rgb": data["rgb"], "gray": data["gray"],
-                   "view_name": data["img_name"]},
-                  force_pgo=(idx == len(inputs) - 1))
+    # keyframes are known upfront: read + batch-encode a chunk ahead so the
+    # encoder runs at full MXU batch (the reference encodes serially,
+    # slam.py:142-151)
+    chunk = 8
+    batched = hasattr(slam.frontend, "encode_batch")
+    for c0 in range(0, len(inputs), chunk):
+        ts = inputs[c0:c0 + chunk]
+        datas = [dataset[int(t)] for t in ts]
+        feats = (slam.frontend.encode_batch(
+            np.stack([d["rgb"] for d in datas])) if batched
+            else [None] * len(datas))
+        for k, (data, feat) in enumerate(zip(datas, feats)):
+            gt_poses.append(data["camera_pose"])
+            gt_depths.append(data["depth"])
+            K = data["intrinsic"]
+            slam.step({"rgb": data["rgb"], "gray": data["gray"],
+                       "view_name": data["img_name"], "enc_feat": feat},
+                      force_pgo=(c0 + k == len(inputs) - 1))
 
     est_poses = [slam.get_view(v, filter_outlier=False)["pose"]
                  for v in range(slam.view_num)]

@@ -26,6 +26,9 @@ from ..utils.logging import Channel, log
 from .common import build_slam, select_stride_indices
 
 
+PREFETCH_CHUNK = 8  # keyframes batch-encoded ahead in stride mode
+
+
 def run_sequence(slam, dataset, cfg, progress: bool = True):
     """Drive the keyframe loop over a dataset; returns total data-read time."""
     n = len(dataset)
@@ -36,11 +39,29 @@ def run_sequence(slam, dataset, cfg, progress: bool = True):
     t = 0
     first = True
     is_optimized = False
+    # In stride mode the keyframe set is known upfront, so upcoming
+    # keyframes are read and batch-encoded ahead of the loop (the reference
+    # encodes one keyframe at a time, run.py:173-202 / slam.py:142-151)
+    pending: dict[int, tuple] = {}
     while t < n:
         t_read = time.time()
+        feat = None
         if stride_mode:
             is_kf = t in stride_idxes
-            data = dataset[t] if is_kf else None
+            if not is_kf:
+                data = None
+            elif t in pending:
+                data, feat = pending.pop(t)
+            elif hasattr(slam.frontend, "encode_batch"):
+                upcoming = sorted(s for s in stride_idxes if s >= t)
+                upcoming = upcoming[:PREFETCH_CHUNK]
+                datas = [dataset[s] for s in upcoming]
+                feats = slam.frontend.encode_batch(
+                    np.stack([d["rgb"] for d in datas]))
+                pending = dict(zip(upcoming, zip(datas, feats)))
+                data, feat = pending.pop(t)
+            else:
+                data = dataset[t]
         else:
             data = dataset[t]
             is_kf = slam.flow_tracker.is_new_keyframe(data["gray"])
@@ -53,7 +74,8 @@ def run_sequence(slam, dataset, cfg, progress: bool = True):
             continue
 
         value = {"rgb": data["rgb"], "gray": data.get("gray"),
-                 "view_name": data.get("img_name", f"frame_{t}")}
+                 "view_name": data.get("img_name", f"frame_{t}"),
+                 "enc_feat": feat}
         is_optimized = slam.step(value, force_pgo=(t == n - 1))
         if cfg.get("rerun_vis") or cfg.get("rerun_save"):
             rerun_vis.set_time(t)
@@ -70,6 +92,7 @@ def run_sequence(slam, dataset, cfg, progress: bool = True):
                     f"stride mode (stride={cfg.stride})", Channel.WARNING)
                 stride_mode = True
                 stride_idxes = select_stride_indices(n, cfg.stride, cfg.max_view_num)
+                pending.clear()
                 slam.reset()
                 t = 0
                 first = True

@@ -25,23 +25,46 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--camera", default="0")
+    ap.add_argument("--realsense", action="store_true",
+                    help="capture the color stream of an Intel RealSense "
+                         "instead of a cv2 camera (needs pyrealsense2; "
+                         "reference: remote_live_setting/live_realsense.py)")
     ap.add_argument("--port", type=int, default=5000)
     ap.add_argument("--fps", type=float, default=20.0)
     ap.add_argument("--quality", type=int, default=85)
     args = ap.parse_args(argv)
 
-    src = int(args.camera) if str(args.camera).isdigit() else args.camera
-    cap = cv2.VideoCapture(src)
-    if not cap.isOpened():
-        raise SystemExit(f"cannot open camera {args.camera}")
+    if args.realsense:
+        try:
+            import numpy as np
+            import pyrealsense2 as rs
+        except ImportError as e:
+            raise SystemExit("--realsense requires pyrealsense2") from e
+        pipe = rs.pipeline()
+        rcfg = rs.config()
+        rcfg.enable_stream(rs.stream.color, 640, 480, rs.format.bgr8, 30)
+        pipe.start(rcfg)
+
+        def read():
+            color = pipe.wait_for_frames().get_color_frame()
+            return np.asanyarray(color.get_data()) if color else None
+    else:
+        src = int(args.camera) if str(args.camera).isdigit() else args.camera
+        cap = cv2.VideoCapture(src)
+        if not cap.isOpened():
+            raise SystemExit(f"cannot open camera {args.camera}")
+
+        def read():
+            ok, frame = cap.read()
+            return frame if ok else None
 
     latest = {"jpg": None}
     lock = threading.Lock()
 
     def grab():
         while True:
-            ok, frame = cap.read()
-            if not ok:
+            frame = read()
+            if frame is None:
                 time.sleep(0.01)
                 continue
             ok, buf = cv2.imencode(".jpg", frame,

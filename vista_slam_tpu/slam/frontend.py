@@ -129,6 +129,28 @@ class FrontendEngine:
         self.time_encode += time.time() - t0
         return feat
 
+    def encode_batch(self, imgs_np: np.ndarray) -> list[jax.Array]:
+        """Encode B frames in one bucketed forward (offline prefetch path).
+
+        imgs_np: [B, H, W, 3] float32 in [-1, 1]. Returns B per-view token
+        caches [1, N, enc_dim], all left on device. The reference encodes
+        strictly one keyframe at a time (reference: vista_slam/slam.py:
+        142-151); when keyframes are known upfront (stride keyframing /
+        dataset evaluation) batching fills the MXU and amortizes dispatch.
+        """
+        n = int(imgs_np.shape[0])
+        assert n >= 1
+        t0 = time.time()
+        b = _bucket(n)
+        pad = b - n
+        imgs = jnp.asarray(imgs_np, jnp.float32)
+        if pad:
+            imgs = jnp.concatenate([imgs, imgs[-1:].repeat(pad, axis=0)], axis=0)
+        feats = self._encode(self.params, imgs).astype(self.cache_dtype)
+        out = [feats[k: k + 1] for k in range(n)]
+        self.time_encode += time.time() - t0
+        return out
+
     def decode_pairs(self, feats_i: list[jax.Array], feats_j: list[jax.Array],
                      fetch: bool = True) -> dict:
         """Decode len(feats_i) pairs in one bucketed forward.

@@ -80,7 +80,9 @@ class OnlineSLAM:
     # ------------------------------------------------------------------
     def step(self, value: dict, force_pgo: bool = False) -> bool:
         """Ingest one keyframe. value: {'rgb': HWC float32 [-1,1],
-        'gray': uint8 HW, 'view_name': str}. Returns True if PGO ran."""
+        'gray': uint8 HW, 'view_name': str, 'enc_feat': optional
+        pre-encoded token cache from FrontendEngine.encode_batch (offline
+        prefetch)}. Returns True if PGO ran."""
         t0 = time.time()
         rgb = value["rgb"]
         gray = value.get("gray")
@@ -88,7 +90,9 @@ class OnlineSLAM:
         self.time_dict["prepare_data"] += time.time() - t0
 
         t0 = time.time()
-        feat = self.frontend.encode(rgb)
+        feat = value.get("enc_feat")
+        if feat is None:
+            feat = self.frontend.encode(rgb)
         self.enc_feats.append(feat)
         self.imgs.append(np.asarray(rgb))
         self.view_names.append(value.get("view_name", f"view_{i}"))
