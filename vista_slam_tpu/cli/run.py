@@ -29,15 +29,21 @@ from .common import build_slam, select_stride_indices
 PREFETCH_CHUNK = 8  # keyframes batch-encoded ahead in stride mode
 
 
-def run_sequence(slam, dataset, cfg, progress: bool = True):
-    """Drive the keyframe loop over a dataset; returns total data-read time."""
+def run_sequence(slam, dataset, cfg, progress: bool = True,
+                 start_frame: int = 0):
+    """Drive the keyframe loop over a dataset; returns total data-read time.
+
+    start_frame > 0 resumes mid-sequence after OnlineSLAM.load_state
+    restored the SLAM state (the checkpoint's frame_cursor + 1)."""
     n = len(dataset)
     stride_mode = cfg.keyframe_detection == "stride"
     stride_idxes = (select_stride_indices(n, cfg.stride, cfg.max_view_num)
                     if stride_mode else None)
+    state_every = int(cfg.get("state_every", 0) or 0)
+    state_path = os.path.join(cfg.output_dir, "slam_state.npz")
     read_time = 0.0
-    t = 0
-    first = True
+    t = start_frame
+    first = start_frame == 0
     is_optimized = False
     # In stride mode the keyframe set is known upfront, so upcoming
     # keyframes are read and batch-encoded ahead of the loop (the reference
@@ -77,6 +83,8 @@ def run_sequence(slam, dataset, cfg, progress: bool = True):
                  "view_name": data.get("img_name", f"frame_{t}"),
                  "enc_feat": feat}
         is_optimized = slam.step(value, force_pgo=(t == n - 1))
+        if state_every and slam.view_num % state_every == 0:
+            slam.save_state(state_path, frame_cursor=t)
         if cfg.get("rerun_vis") or cfg.get("rerun_save"):
             rerun_vis.set_time(t)
             rerun_vis.log_slam_views(slam, show_all=is_optimized)
@@ -122,6 +130,10 @@ def main(argv=None):
     parser.add_argument("--vis-save", action="store_true",
                         help="save a rerun recording next to the outputs")
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--resume-state", default=None,
+                        help="resume from an OnlineSLAM.save_state checkpoint "
+                             "(written every cfg.state_every keyframes as "
+                             "<output>/slam_state.npz)")
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config, output_dir=args.output,
@@ -137,12 +149,18 @@ def main(argv=None):
     log(f"{len(dataset)} frames")
 
     slam = build_slam(cfg)
+    start_frame = 0
+    if args.resume_state:
+        extras = slam.load_state(args.resume_state)
+        start_frame = int(extras.get("frame_cursor", -1)) + 1
+        log(f"resumed {slam.view_num} keyframes from {args.resume_state}; "
+            f"continuing at frame {start_frame}")
     if cfg.get("rerun_vis") or cfg.get("rerun_save"):
         rerun_vis.init("slam",
                        save_path=(os.path.join(cfg.output_dir, "recording.rrd")
                                   if cfg.get("rerun_save") else None),
                        url=cfg.get("rerun_url"))
-    read_time = run_sequence(slam, dataset, cfg)
+    read_time = run_sequence(slam, dataset, cfg, start_frame=start_frame)
 
     log(f"total keyframes detected: {slam.view_num}")
     td = slam.get_time_dict()

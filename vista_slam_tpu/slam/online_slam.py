@@ -337,6 +337,135 @@ class OnlineSLAM:
         return td
 
     # ------------------------------------------------------------------
+    def save_state(self, path: str, **extra):
+        """Checkpoint the FULL mid-run SLAM state to one npz (explicit
+        arrays only, no pickled objects) so a long run can resume after a
+        crash or be migrated across processes. Beyond-parity capability: the
+        reference cannot checkpoint SLAM state mid-run (SURVEY 5.4;
+        reference slam.py:338-421 dumps derived artifacts only).
+
+        Everything load_state needs is included: graph buffers, device
+        pointmap store, encoder feature cache, BoW database, flow-tracker
+        keyframe, and bookkeeping. Weights/config are NOT saved — resume
+        into an OnlineSLAM built with the same config and frontend.
+        Caller metadata (e.g. the driving loop's frame cursor) rides along
+        via **extra and comes back from load_state.
+        """
+        g = self.graph
+        nn, ne, v = g.num_nodes, g.num_edges, self.view_num
+        state: dict[str, np.ndarray] = {
+            "view_num": np.int64(v),
+            "num_nodes": np.int64(nn),
+            "num_edges": np.int64(ne),
+            "node_poses": g.node_poses[:nn],
+            "node_view": g.node_view[:nn],
+            "node_connected_view": g.node_connected_view[:nn],
+            "edges": g.edges[:ne],
+            "edge_poses": g.edge_poses[:ne],
+            "edge_confs": g.edge_confs[:ne],
+            "best_views": np.asarray(sorted(g.view_best_node), np.int32),
+            "loop_related_views": np.asarray(sorted(self.loop_related_views),
+                                             np.int32),
+            "view_names": np.asarray(self.view_names),
+            "imgs": (np.stack(self.imgs) if self.imgs
+                     else np.zeros((0,), np.float32)),
+            "time_keys": np.asarray(list(self.time_dict)),
+            "time_vals": np.asarray(list(self.time_dict.values()), np.float64),
+        }
+        bv = [g.view_best_node[int(k)] for k in state["best_views"]]
+        state["best_nodes"] = np.asarray([n for n, _ in bv], np.int32)
+        state["best_confs"] = np.asarray([c for _, c in bv], np.float32)
+        if self.enc_feats:
+            state["enc_feats"] = np.concatenate(
+                [np.asarray(f) for f in self.enc_feats], axis=0)
+        if self.pointmaps is not None:
+            state["store_depth"] = np.asarray(self.pointmaps.depth[:nn])
+            state["store_conf"] = np.asarray(self.pointmaps.conf[:nn])
+            state["store_intri"] = self.pointmaps.intri[:nn]
+        ft = self.flow_tracker
+        if ft.kf_gray is not None:
+            state["flow_kf_gray"] = ft.kf_gray
+            if ft.kf_pts is not None:
+                state["flow_kf_pts"] = ft.kf_pts
+        if self.lc_detector is not None:
+            feats = self.lc_detector.bow_feats
+            state["bow_present"] = np.asarray(
+                [f is not None for f in feats], bool)
+            present = [f for f in feats if f is not None]
+            state["bow_offsets"] = np.cumsum(
+                [0] + [len(f.ids) for f in present]).astype(np.int64)
+            state["bow_ids"] = (np.concatenate([f.ids for f in present])
+                                if present else np.zeros((0,), np.int32))
+            state["bow_vals"] = (np.concatenate([f.vals for f in present])
+                                 if present else np.zeros((0,), np.float32))
+        for k, val in extra.items():
+            state[f"extra_{k}"] = np.asarray(val)
+        np.savez_compressed(path, **state)
+
+    def load_state(self, path: str) -> dict:
+        """Restore a save_state checkpoint into this (freshly built,
+        same-config) OnlineSLAM and continue stepping. Returns the **extra
+        metadata that was passed to save_state."""
+        import jax.numpy as jnp
+
+        z = np.load(path, allow_pickle=False)
+        self.reset()
+        g = self.graph
+        nn, ne = int(z["num_nodes"]), int(z["num_edges"])
+        assert nn <= g.max_nodes and ne <= g.max_edges, \
+            "checkpoint larger than this instance's graph buffers"
+        g.num_nodes, g.num_edges = nn, ne
+        g.node_poses[:nn] = z["node_poses"]
+        g.node_view[:nn] = z["node_view"]
+        g.node_connected_view[:nn] = z["node_connected_view"]
+        g.edges[:ne] = z["edges"]
+        g.edge_poses[:ne] = z["edge_poses"]
+        g.edge_confs[:ne] = z["edge_confs"]
+        for n in range(nn):  # gap slots keep view -1 and stay unregistered
+            v = int(g.node_view[n])
+            if v >= 0:
+                g.view_to_nodes.setdefault(v, []).append(n)
+        g.view_best_node = {
+            int(v): (int(n), float(c))
+            for v, n, c in zip(z["best_views"], z["best_nodes"],
+                               z["best_confs"])}
+
+        self.view_num = int(z["view_num"])
+        self.view_names = [str(s) for s in z["view_names"]]
+        self.imgs = list(z["imgs"]) if z["imgs"].ndim == 4 else []
+        self.loop_related_views = set(int(v) for v in z["loop_related_views"])
+        self.time_dict = dict(zip([str(k) for k in z["time_keys"]],
+                                  [float(x) for x in z["time_vals"]]))
+        if "enc_feats" in z:
+            feats = jnp.asarray(z["enc_feats"])
+            self.enc_feats = [feats[k: k + 1] for k in range(feats.shape[0])]
+        if "store_depth" in z:
+            store = self._store(z["store_depth"].shape[1:])
+            store.write_batch(np.arange(nn, dtype=np.int32),
+                              z["store_depth"], z["store_conf"],
+                              z["store_intri"])
+        if "flow_kf_gray" in z:
+            self.flow_tracker.kf_gray = z["flow_kf_gray"]
+            if "flow_kf_pts" in z:
+                self.flow_tracker.kf_pts = z["flow_kf_pts"]
+        if self.lc_detector is not None and "bow_present" in z:
+            from ..native.bow import BowVector
+
+            off, k = z["bow_offsets"], 0
+            feats = []
+            for present in z["bow_present"]:
+                if not present:
+                    feats.append(None)
+                    continue
+                lo, hi = int(off[k]), int(off[k + 1])
+                feats.append(BowVector(z["bow_ids"][lo:hi],
+                                       z["bow_vals"][lo:hi]))
+                k += 1
+            self.lc_detector.bow_feats = feats
+        return {k[len("extra_"):]: z[k] for k in z.files
+                if k.startswith("extra_")}
+
+    # ------------------------------------------------------------------
     def save_data_all(self, output_folder: str, *, save_view_graph=True,
                       traj_name_postfix=None, save_poses=True, save_images=True,
                       save_scales=True, save_depths=True, save_intrinsics=True,
