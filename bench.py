@@ -128,9 +128,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vista_slam_tpu.cli.common import enable_compilation_cache
     from vista_slam_tpu.models.sta import STA, STAConfig, init_params_host
     from vista_slam_tpu.slam.frontend import FrontendEngine
 
+    enable_compilation_cache()
     flash_mode = "--flash" in sys.argv
 
     log(f"devices: {jax.devices()}")

@@ -17,27 +17,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def colorize(x, mask=None, cmap="turbo"):
-    import matplotlib.cm as cm
+    import matplotlib
 
     v = x.astype(np.float64)
     if mask is None:
         mask = np.isfinite(v) & (v > 0)
     lo, hi = (np.percentile(v[mask], [2, 98]) if mask.any() else (0, 1))
     norm = np.clip((v - lo) / max(hi - lo, 1e-8), 0, 1)
-    rgba = cm.get_cmap(cmap)(norm)
+    rgba = matplotlib.colormaps[cmap](norm)
     out = (rgba[..., :3] * 255).astype(np.uint8)
     out[~mask] = 0
     return out
 
 
-def main():
+def main(argv=None):
     import cv2
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--result-dir", required=True)
     ap.add_argument("--views", type=int, nargs="*", default=None)
     ap.add_argument("--out", default=None)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     rd = args.result_dir
     images = np.load(os.path.join(rd, "images.npy"))

@@ -10,7 +10,7 @@ import argparse
 import json
 
 
-def main():
+def main(argv=None):
     import matplotlib
 
     matplotlib.use("Agg")
@@ -19,7 +19,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", required=True)
     ap.add_argument("--out", default=None)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     rows = [json.loads(line) for line in open(args.log) if line.strip()]
     epochs = [r["epoch"] for r in rows]

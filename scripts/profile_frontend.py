@@ -28,8 +28,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vista_slam_tpu.cli.common import enable_compilation_cache
     from vista_slam_tpu.models.sta import STA, STAConfig, init_params_host
 
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)

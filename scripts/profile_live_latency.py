@@ -25,9 +25,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vista_slam_tpu.cli.common import enable_compilation_cache
     from vista_slam_tpu.models.sta import STAConfig, init_params_host
     from vista_slam_tpu.slam.frontend import FrontendEngine
     from vista_slam_tpu.slam.online_slam import OnlineSLAM
+
+    enable_compilation_cache()
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=40)

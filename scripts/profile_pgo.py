@@ -19,9 +19,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vista_slam_tpu.cli.common import enable_compilation_cache
     from vista_slam_tpu.slam import host_math as hm
     from vista_slam_tpu.slam.pgo import PGOConfig, optimize_pose_graph
 
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=4800)
     ap.add_argument("--edges", type=int, default=5200)

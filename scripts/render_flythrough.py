@@ -51,7 +51,7 @@ def interp_poses(poses, k):
     return np.stack(out)
 
 
-def main():
+def main(argv=None):
     import cv2
 
     ap = argparse.ArgumentParser()
@@ -60,7 +60,7 @@ def main():
     ap.add_argument("--interp", type=int, default=3)
     ap.add_argument("--size", type=int, nargs=2, default=(480, 640))
     ap.add_argument("--fps", type=int, default=15)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     poses = np.load(os.path.join(args.result_dir, "trajectory.npy"))
     intr = np.load(os.path.join(args.result_dir, "intrinsics.npy"))[0]

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vista_slam_tpu.utils.pointcloud import read_ply  # noqa: E402
 
 
-def main():
+def main(argv=None):
     import matplotlib
 
     matplotlib.use("Agg")
@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--views", type=int, default=4)
     ap.add_argument("--max-points", type=int, default=300000)
     ap.add_argument("--out", default=None)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     pts, cols = read_ply(args.ply)
     if len(pts) > args.max_points:

@@ -32,7 +32,7 @@ def frustum_lines(pose, scale=0.05):
     return [(pts[a], pts[b]) for a, b in edges]
 
 
-def main():
+def main(argv=None):
     import matplotlib
 
     matplotlib.use("Agg")
@@ -44,7 +44,7 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--max-points", type=int, default=200000)
     ap.add_argument("--show", action="store_true")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     poses = np.load(os.path.join(args.result_dir, "trajectory.npy"))
     fig = plt.figure(figsize=(12, 10))

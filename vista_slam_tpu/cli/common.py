@@ -10,11 +10,11 @@ from ..utils.config import Config
 from ..utils.logging import Channel, log
 
 
-def enable_compilation_cache(cfg: Config):
+def enable_compilation_cache(cfg: Config | None = None):
     """Persist XLA compilations across runs — the full-size frontend costs
     minutes to compile per shape bucket, once per machine with this on."""
-    path = cfg.get("compilation_cache_dir",
-                   os.path.expanduser("~/.cache/vista_slam_tpu/xla"))
+    default = os.path.expanduser("~/.cache/vista_slam_tpu/xla")
+    path = cfg.get("compilation_cache_dir", default) if cfg is not None else default
     if not path:
         return
     try:
