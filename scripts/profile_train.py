@@ -1,7 +1,13 @@
 #!/usr/bin/env python
 """Training-step throughput of the full-size STA model on the current
 accelerator: steady-state step time, two-view pairs/s, and MFU from XLA
-cost analysis of the jitted step (forward + backward + AdamW).
+cost analysis of the step program (forward + backward + AdamW).
+
+K optimizer steps run inside ONE compiled lax.scan program so params and
+optimizer state never leave the device — a bare jitted-step loop through
+the dev relay round-trips the multi-GB train state per dispatch and
+measures the tunnel, not the chip (same technique as bench.py's
+device-resident decode loop).
 
 The reference trains with DDP/AMP on CUDA (reference:
 vista_slam/sta_model/train.py:233-328) and publishes no throughput numbers;
@@ -25,26 +31,28 @@ V5E_BF16_PEAK_FLOPS = 197e12
 def main():
     import jax
     import jax.numpy as jnp
+    import optax
 
     from vista_slam_tpu.cli.common import enable_compilation_cache
     from vista_slam_tpu.models.sta import STAConfig, init_params_host
-    from vista_slam_tpu.parallel.mesh import make_mesh
-    from vista_slam_tpu.train.step import make_optimizer, make_train_step
+    from vista_slam_tpu.train.step import make_loss_fn, make_optimizer
 
     enable_compilation_cache()
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--support", type=int, default=1)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--remat", action="store_true",
+                    help="gradient checkpointing (cfg.remat)")
     args = ap.parse_args()
-    B, S = args.batch, args.support
+    B, S, K = args.batch, args.support, args.steps
 
-    print(f"devices: {jax.devices()}")
-    cfg = STAConfig(compute_dtype=jnp.bfloat16)
+    print(f"devices: {jax.devices()}", flush=True)
+    cfg = STAConfig(compute_dtype=jnp.bfloat16, remat=args.remat)
     t0 = time.time()
     model, params = init_params_host(cfg, seed=0)
-    print(f"params ready in {time.time() - t0:.1f}s")
+    params = jax.device_put(params)
+    print(f"params ready in {time.time() - t0:.1f}s", flush=True)
 
     H, W = cfg.img_size
     rng = np.random.default_rng(0)
@@ -68,42 +76,63 @@ def main():
             rng.standard_normal((S, B, H, W, 3)).astype(np.float32)),
     }
 
-    mesh = make_mesh(1)
-    with mesh:
-        optimizer = make_optimizer(total_steps=10_000)
-        init_fn, jit_step, shard_batch = make_train_step(model, optimizer,
-                                                         mesh, S)
-        state = init_fn(params)
-        batch = shard_batch(batch)
+    loss_fn = make_loss_fn(model, S)
+    optimizer = make_optimizer(total_steps=10_000)
+    opt_state = optimizer.init(params)
 
-        t0 = time.time()
-        state, loss, _ = jit_step(state, batch)
-        print(f"compile+first step: {time.time() - t0:.1f}s, "
-              f"loss={float(loss):.4f}")
+    def one_step(params, opt_state, batch):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
 
-        t0 = time.time()
-        for _ in range(args.steps):
-            state, loss, _ = jit_step(state, batch)
-        jax.block_until_ready(loss)
-        dt = (time.time() - t0) / args.steps
+    def multi(params, opt_state, batch):
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = one_step(p, o, batch)
+            return (p, o), loss
 
-        flops = None
-        try:
-            cost = jit_step.lower(state, batch).compile().cost_analysis()
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            flops = float(cost["flops"])
-        except Exception as e:
-            print(f"cost analysis unavailable: {e}")
+        (p, o), losses = jax.lax.scan(body, (params, opt_state), None,
+                                      length=K)
+        return p, o, losses
 
-        pairs = S * B  # two-view pairs per step (both directions included)
-        print(f"train step: {dt * 1e3:.0f} ms (batch {B}, {S} support views)"
-              f" -> {pairs / dt:.1f} pairs/s, {B / dt:.1f} graphs/s")
-        if flops:
-            mfu = flops / dt / V5E_BF16_PEAK_FLOPS
-            print(f"{flops / 1e12:.2f} TFLOP/step (XLA cost analysis) -> "
-                  f"{flops / dt / 1e12:.1f} TFLOP/s = {mfu * 100:.1f}% MFU "
-                  f"of v5e bf16 peak")
+    jmulti = jax.jit(multi, donate_argnums=(0, 1))
+    t0 = time.time()
+    compiled = jmulti.lower(params, opt_state, batch).compile()
+    print(f"compile ({K}-step scan program): {time.time() - t0:.1f}s",
+          flush=True)
+    flops = None
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        # XLA cost analysis counts the scan body ONCE, so the program total
+        # IS the per-step cost (verified against a single-step program and
+        # the analytic count: ~5.3 TFLOP at batch 4 / 1 support)
+        flops = float(cost["flops"])
+    except Exception as e:
+        print(f"cost analysis unavailable: {e}")
+
+    t0 = time.time()
+    params, opt_state, losses = compiled(params, opt_state, batch)
+    jax.block_until_ready(losses)
+    print(f"first run: {time.time() - t0:.1f}s, "
+          f"losses {np.asarray(losses)[:3].round(3)}...", flush=True)
+
+    t0 = time.time()
+    params, opt_state, losses = compiled(params, opt_state, batch)
+    jax.block_until_ready(losses)
+    dt = (time.time() - t0) / K
+
+    pairs = S * B  # two-view pairs per step (both directions included)
+    print(f"train step (device-resident): {dt * 1e3:.0f} ms "
+          f"(batch {B}, {S} support views) -> {pairs / dt:.1f} pairs/s, "
+          f"{B / dt:.1f} graphs/s")
+    if flops:
+        mfu = flops / dt / V5E_BF16_PEAK_FLOPS
+        print(f"{flops / 1e12:.2f} TFLOP/step (XLA cost analysis) -> "
+              f"{flops / dt / 1e12:.1f} TFLOP/s = {mfu * 100:.1f}% MFU "
+              f"of v5e bf16 peak")
 
 
 if __name__ == "__main__":

@@ -132,3 +132,30 @@ def test_svd_orthogonalize_matches_torch_reference():
     eye = got @ got.transpose(0, 2, 1)
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-5)
     np.testing.assert_allclose(np.linalg.det(got), 1.0, atol=1e-5)
+
+
+def test_remat_matches_plain_gradients(tiny_model):
+    """cfg.remat=True (gradient checkpointing) must not change values or
+    gradients, only the backward-pass memory schedule."""
+    import dataclasses
+
+    model, params = tiny_model
+    model_r = STA(dataclasses.replace(TINY, remat=True))
+
+    rng = np.random.default_rng(7)
+    img1 = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    img2 = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+
+    def loss(m):
+        def f(p):
+            out = m.apply(p, img1, img2)
+            return (out["pts3d"].mean() + out["conf"].mean()
+                    + out["pose"].mean() + out["pose_conf"].mean())
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(model))(params)
+    l1, g1 = jax.value_and_grad(loss(model_r))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-5),
+        g0, g1)

@@ -68,6 +68,28 @@ def test_extract_images(result_dir):
     assert os.path.exists(os.path.join(figs, "view0003_depth.png"))
 
 
+def test_rerun_vis_gates_cleanly_without_rerun():
+    """Every rerun_vis entry point must be a safe no-op when the rerun
+    package is absent (reference gates at import, run.py:13-20)."""
+    from vista_slam_tpu.utils import rerun_vis
+
+    n = 4
+    gt = circle_trajectory(n)
+    fe = SyntheticFrontend(gt, seed=2)
+    slam = OnlineSLAM(fe, max_view_num=8, neighbor_edge_num=2,
+                      loop_edge_num=0, pgo_every=500)
+    for t in range(n):
+        slam.step({"rgb": np.zeros((fe.h, fe.w, 3), np.float32)})
+
+    rerun_vis.init("smoke", save_path=None, url=None)
+    rerun_vis.set_time(3)
+    rerun_vis.log_slam_views(slam, show_all=True)
+    rerun_vis.log_slam_views(slam, show_all=False, max_views=2)
+    rerun_vis.disconnect()
+    if not rerun_vis.available():  # this environment has no rerun
+        assert rerun_vis.rr is None
+
+
 def test_plot_train_log(tmp_path):
     import json
 

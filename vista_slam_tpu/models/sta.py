@@ -50,6 +50,7 @@ class STAConfig:
     conf_offset: float = 1.0  # conf_mode ('exp', 1, inf)
     compute_dtype: Any = jnp.bfloat16
     use_flash: bool | None = None  # None = auto by sequence length
+    remat: bool = False  # rematerialize blocks in backward (train memory)
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -182,19 +183,24 @@ class STA(nn.Module):
 
     def setup(self):
         c = self.cfg
+        # gradient checkpointing: activations inside each block are
+        # rematerialized in the backward pass (jax.checkpoint), trading
+        # ~1/3 more FLOPs for O(depth) less activation memory
+        Enc = nn.remat(EncoderBlock) if c.remat else EncoderBlock
+        Dec = nn.remat(DecoderBlock) if c.remat else DecoderBlock
         self.patch_proj = nn.Conv(c.enc_dim, (c.patch_size, c.patch_size),
                                   strides=(c.patch_size, c.patch_size),
                                   dtype=c.compute_dtype, name="patch_embed")
         self.enc_blocks = [
-            EncoderBlock(c.enc_dim, c.enc_heads, c.mlp_ratio, c.compute_dtype,
-                         c.use_flash, name=f"enc_block{i}")
+            Enc(c.enc_dim, c.enc_heads, c.mlp_ratio, c.compute_dtype,
+                c.use_flash, name=f"enc_block{i}")
             for i in range(c.enc_depth)
         ]
         self.enc_norm = _ln("enc_norm")
         self.decoder_embed = nn.Dense(c.dec_dim, dtype=c.compute_dtype, name="decoder_embed")
         self.dec_blocks = [
-            DecoderBlock(c.dec_dim, c.dec_heads, c.mlp_ratio, c.compute_dtype,
-                         c.use_flash, name=f"dec_block{i}")
+            Dec(c.dec_dim, c.dec_heads, c.mlp_ratio, c.compute_dtype,
+                c.use_flash, name=f"dec_block{i}")
             for i in range(c.dec_depth)
         ]
         self.dec_norm = _ln("dec_norm")
