@@ -44,3 +44,43 @@ def test_param_sharding_rules():
     proj = [v for k, v in specs.items() if k.endswith("attn/proj/kernel")]
     assert all(tuple(s) == (None, "tp") for s in qkv), qkv
     assert all(tuple(s) == ("tp", None) for s in proj), proj
+
+
+def test_sharded_inference_matches_single_device():
+    """FrontendEngine(mesh=...) runs the SLAM inference path multi-chip
+    (params in the tp layout, pair batches dp-sharded, pointmap store
+    replicated) and must reproduce the single-device trajectory. The
+    reference is strictly single-GPU at inference (slam.py:28)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vista_slam_tpu.models.sta import STAConfig, init_params
+    from vista_slam_tpu.parallel.mesh import make_mesh
+    from vista_slam_tpu.slam.frontend import FrontendEngine
+    from vista_slam_tpu.slam.online_slam import OnlineSLAM
+
+    cfg = STAConfig(img_size=(64, 64), enc_dim=64, enc_depth=2, enc_heads=4,
+                    dec_dim=48, dec_depth=2, dec_heads=4, mlp_ratio=2,
+                    compute_dtype=jnp.float32)
+    _, params = init_params(cfg, seed=0)
+
+    rng = np.random.default_rng(4)
+    rgbs = [rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+            for _ in range(6)]
+
+    def run(mesh):
+        engine = FrontendEngine(cfg, params, mesh=mesh)
+        slam = OnlineSLAM(engine, max_view_num=16, neighbor_edge_num=2,
+                          loop_edge_num=0, pgo_every=10 ** 6,
+                          rel_pose_thres=-1.0)
+        feats = engine.encode_batch(np.stack(rgbs))
+        for k, (rgb, feat) in enumerate(zip(rgbs, feats)):
+            slam.step({"rgb": rgb, "enc_feat": feat},
+                      force_pgo=(k == len(rgbs) - 1))
+        return np.stack([slam.get_view(v, filter_outlier=False)["pose"]
+                         for v in range(slam.view_num)])
+
+    traj_single = run(None)
+    traj_mesh = run(make_mesh(8))  # dp=2, tp=4 on the virtual CPU mesh
+    # tp psum reduction order perturbs the pose head's SVD at ~1e-4
+    np.testing.assert_allclose(traj_mesh, traj_single, atol=1e-3)

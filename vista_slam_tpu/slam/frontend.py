@@ -39,15 +39,33 @@ def _bucket(n: int) -> int:
 
 @dataclass
 class FrontendEngine:
-    """Owns the model params and the jitted encode / pair-decode programs."""
+    """Owns the model params and the jitted encode / pair-decode programs.
+
+    With ``mesh`` set (a jax.sharding.Mesh with dp/tp axes), inference runs
+    multi-chip: params take the training-side megatron layout (tp over
+    attention/MLP hidden dims, parallel/mesh.py) and pair batches shard over
+    dp — XLA inserts the collectives over ICI. The reference is strictly
+    single-GPU at inference (reference: vista_slam/slam.py:28).
+    """
 
     cfg: STAConfig
     params: Any
     cache_dtype: Any = jnp.float32
+    mesh: Any = None
     model: STA = field(init=False)
 
     def __post_init__(self):
         self.model = STA(self.cfg)
+        self.store_sharding = None
+        self._batch_sharding = None
+        if self.mesh is not None:
+            from ..parallel.mesh import param_shardings, replicated
+
+            self.params = jax.device_put(
+                self.params, param_shardings(self.params, self.mesh))
+            self._batch_sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec("dp"))
+            self.store_sharding = replicated(self.mesh)
 
         def encode_fn(params, img):
             return self.model.apply(params, img, method=STA.encode)
@@ -118,6 +136,14 @@ class FrontendEngine:
         self.time_decode = 0.0
 
     # ------------------------------------------------------------------
+    def _put_batch(self, x: jax.Array) -> jax.Array:
+        """dp-shard a batch-leading array when the mesh divides it evenly
+        (padded buckets are mesh-divisible by construction)."""
+        if (self._batch_sharding is not None
+                and x.shape[0] % self.mesh.shape["dp"] == 0):
+            return jax.device_put(x, self._batch_sharding)
+        return x
+
     def encode(self, img_np: np.ndarray) -> jax.Array:
         """img_np: [H, W, 3] float32 in [-1, 1]. Returns cached tokens
         [1, N, enc_dim] left on device."""
@@ -146,7 +172,7 @@ class FrontendEngine:
         imgs = jnp.asarray(imgs_np, jnp.float32)
         if pad:
             imgs = jnp.concatenate([imgs, imgs[-1:].repeat(pad, axis=0)], axis=0)
-        feats = self._encode(self.params, imgs).astype(self.cache_dtype)
+        feats = self._encode(self.params, self._put_batch(imgs)).astype(self.cache_dtype)
         out = [feats[k: k + 1] for k in range(n)]
         self.time_encode += time.time() - t0
         return out
@@ -171,7 +197,8 @@ class FrontendEngine:
         pad = b - n
         f1 = jnp.concatenate(feats_i + [feats_i[-1]] * pad, axis=0).astype(jnp.float32)
         f2 = jnp.concatenate(feats_j + [feats_j[-1]] * pad, axis=0).astype(jnp.float32)
-        host, dense = self._decode(self.params, f1, f2)
+        host, dense = self._decode(self.params, self._put_batch(f1),
+                                   self._put_batch(f2))
         if fetch:
             host = jax.device_get(host)
         out = {k: v[:n] for k, v in host.items()}
@@ -209,7 +236,8 @@ class FrontendEngine:
         jf[: len(jobs)] = [f for _, f in jobs]
 
         host, store.depth, store.conf = self._decode_store_scales(
-            self.params, f1, f2, store.depth, store.conf,
+            self.params, self._put_batch(f1), self._put_batch(f2),
+            store.depth, store.conf,
             jnp.asarray(idx), jnp.asarray(jn), jnp.asarray(jf))
         host = jax.device_get(host)
         out = {k: (v[:n] if k not in ("scale", "scale_conf") else v[: len(jobs)])

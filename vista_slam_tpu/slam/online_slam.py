@@ -140,7 +140,9 @@ class OnlineSLAM:
             from .pointmap_store import DevicePointmapStore
 
             # +1 scrap row: padded pairs in the fused path scatter there
-            self.pointmaps = DevicePointmapStore(self.graph.max_nodes + 1, tuple(hw))
+            self.pointmaps = DevicePointmapStore(
+                self.graph.max_nodes + 1, tuple(hw),
+                sharding=getattr(self.frontend, "store_sharding", None))
         return self.pointmaps
 
     def _plan_edge_batch(self, i: int, js: list[int]):

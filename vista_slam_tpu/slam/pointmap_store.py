@@ -42,11 +42,15 @@ def _scales(depth_buf, conf_buf, new_idx, first_idx):
 
 
 class DevicePointmapStore:
-    def __init__(self, max_nodes: int, hw=(224, 224), dtype=jnp.float16):
+    def __init__(self, max_nodes: int, hw=(224, 224), dtype=jnp.float16,
+                 sharding=None):
         self.max_nodes = max_nodes
         self.hw = hw
         self.depth = jnp.zeros((max_nodes,) + hw, dtype)
         self.conf = jnp.zeros((max_nodes,) + hw, dtype)
+        if sharding is not None:  # multi-chip inference: replicate over mesh
+            self.depth = jax.device_put(self.depth, sharding)
+            self.conf = jax.device_put(self.conf, sharding)
         self.intri = np.zeros((max_nodes, 3, 3), np.float32)  # tiny: host
 
     def reset(self):
