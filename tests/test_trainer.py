@@ -126,3 +126,36 @@ def test_best_checkpoint_and_tensorboard(scannet_root, tmp_path):  # noqa: F811
     files = os.listdir(tb_dir)
     assert any(f.startswith("events.out") or f == "scalars.jsonl"
                for f in files), files
+
+
+def test_train_cli_end_to_end(scannet_root, tmp_path):  # noqa: F811
+    """The train CLI (YAML config -> TrainConfig -> Trainer.fit) runs one
+    epoch end-to-end, and unknown config keys are rejected up front."""
+    import yaml
+
+    from vista_slam_tpu.cli.train import main
+
+    data_root, vg_root = scannet_root
+    spec = (f"4 @ ScanNet(sensor_data_root='{data_root}', "
+            f"view_graph_root='{vg_root}', resolution=(32, 32), "
+            f"neighbor_range=4, neighbor_num=1, loop_num=1, "
+            f"num_sample_per_scene=2)")
+    raw = dict(
+        train_dataset=spec, test_dataset=spec,
+        output_dir=str(tmp_path / "cli_out"), batch_size=2, epochs=1,
+        neighbor_num=1, loop_num=1, warmup_epochs=1,
+        model=dict(img_size=[32, 32], patch_size=16, enc_dim=32, enc_depth=1,
+                   enc_heads=2, dec_dim=32, dec_depth=4, dec_heads=2,
+                   mlp_ratio=2))
+    cfg_path = str(tmp_path / "train.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(raw, f)
+    main(["--config", cfg_path])
+    import os
+
+    assert os.path.exists(os.path.join(raw["output_dir"], "log.txt"))
+
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(dict(raw, not_a_real_key=1), f)
+    with pytest.raises(SystemExit, match="unknown config keys"):
+        main(["--config", cfg_path])
