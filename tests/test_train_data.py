@@ -108,3 +108,38 @@ def test_loader_collation(scannet_root):
 def test_spec_parser_rejects_code():
     with pytest.raises(Exception):
         build_dataset("ScanNet(sensor_data_root=__import__('os').getcwd())")
+
+
+def test_sampler_survives_unreadable_frames(scannet_root, tmp_path):
+    """Corrupt frames are skipped with bounded retries (reference:
+    scannet.py:153-155,174-175); a fully corrupt scene raises instead of
+    looping forever."""
+    import shutil
+
+    from vista_slam_tpu.datasets.view_graph import ScanNet
+
+    data_root, vg_root = scannet_root
+    my_data = str(tmp_path / "data")
+    shutil.copytree(data_root, my_data)
+
+    def corrupt(scene, indices):
+        sensor = os.path.join(my_data, scene, "sensor_data")
+        for i in indices:
+            with open(os.path.join(sensor, f"frame-{i:06d}.color.jpg"), "wb") as f:
+                f.write(b"not an image")
+
+    kw = dict(sensor_data_root=my_data, view_graph_root=vg_root,
+              resolution=(32, 32), neighbor_range=4, neighbor_num=1,
+              loop_num=1, num_sample_per_scene=2, seed=0)
+
+    corrupt("scene0000_00", [2, 7])  # a few bad frames: sampling still works
+    ds = ScanNet(**kw)
+    for idx in range(len(ds)):
+        g = ds[idx]
+        assert g["main_view"]["img"].shape == (32, 32, 3)
+
+    corrupt("scene0000_00", range(12))  # whole scene unreadable -> bounded
+    ds = ScanNet(**kw)
+    with pytest.raises(RuntimeError, match="failed to sample"):
+        for idx in range(len(ds)):
+            ds[idx]
