@@ -143,3 +143,39 @@ def test_sampler_survives_unreadable_frames(scannet_root, tmp_path):
     with pytest.raises(RuntimeError, match="failed to sample"):
         for idx in range(len(ds)):
             ds[idx]
+
+
+def test_threaded_loader_matches_synchronous(scannet_root):
+    """num_workers must not change the data stream: per-(epoch, index)
+    seeded sampling makes the threaded prefetching loader emit exactly the
+    synchronous loader's batches, in order."""
+    from vista_slam_tpu.train.data import TrainLoader
+
+    data_root, vg_root = scannet_root
+    spec = (f"8 @ ScanNet(sensor_data_root='{data_root}', "
+            f"view_graph_root='{vg_root}', resolution=(32, 32), "
+            f"neighbor_range=4, neighbor_num=1, loop_num=1, "
+            f"num_sample_per_scene=4)")
+
+    def batches(num_workers):
+        loader = TrainLoader(build_dataset(spec), batch_size=2, n_support=3,
+                             num_workers=num_workers)
+        loader.set_epoch(1)
+        return list(loader)
+
+    sync = batches(0)
+    threaded = batches(3)
+    assert len(sync) == len(threaded) == 4
+    for a, b in zip(sync, threaded):
+        np.testing.assert_array_equal(b["main"]["img"], a["main"]["img"])
+        np.testing.assert_array_equal(b["support_imgs"], a["support_imgs"])
+        np.testing.assert_array_equal(b["supports"]["pts3d_cam"],
+                                      a["supports"]["pts3d_cam"])
+
+    # a second epoch draws different samples (epoch is in the seed)
+    loader = TrainLoader(build_dataset(spec), batch_size=2, n_support=3)
+    loader.set_epoch(2)
+    other = list(loader)
+    assert not all(
+        np.array_equal(a["main"]["img"], b["main"]["img"])
+        for a, b in zip(sync, other))

@@ -188,11 +188,19 @@ class ViewGraphDataset(ComposableDataset):
     def __len__(self):
         return len(self.scene_names) * self.num_sample_per_scene
 
+    def set_epoch(self, epoch: int):
+        self._epoch = int(epoch)
+
     def __getitem__(self, idx):
         idx, ar = idx if isinstance(idx, tuple) else (idx, 0)
         resolution = self._resolutions[ar]
         scene_id = self.scene_names[idx // self.num_sample_per_scene]
-        return self.sample_graph(scene_id, resolution, self._rng)
+        # per-(epoch, index) rng: sampling is deterministic AND safe under
+        # concurrent loader workers (a shared Generator is neither)
+        rng = np.random.default_rng(
+            (self.seed if self.seed is not None else 1234,
+             getattr(self, "_epoch", 0), int(idx), int(ar)))
+        return self.sample_graph(scene_id, resolution, rng)
 
 
 # ---------------------------------------------------------------------------

@@ -100,13 +100,24 @@ def collate_graphs(graphs: list[dict], n_support: int) -> dict:
 
 
 class TrainLoader:
-    """Host-side loader: constrained batch sampler -> collated numpy batches."""
+    """Host-side loader: constrained batch sampler -> collated numpy batches.
+
+    ``num_workers > 0`` reads views on a thread pool and keeps ``prefetch``
+    collated batches ready ahead of the consumer, overlapping image decode
+    with device steps (the reference gets this from torch DataLoader
+    workers, datasets/__init__.py:36-55; cv2 decode releases the GIL, so
+    threads parallelize for real). Sampling draws are per-(epoch, index)
+    seeded, so worker count never changes the data stream.
+    """
 
     def __init__(self, dataset, batch_size: int, n_support: int,
-                 world_size: int = 1, rank: int = 0):
+                 world_size: int = 1, rank: int = 0, num_workers: int = 0,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.n_support = n_support
+        self.num_workers = int(num_workers)
+        self.prefetch = max(int(prefetch), 1)
         self.sampler = BatchedRandomSampler(
             dataset, batch_size, dataset.num_resolutions,
             world_size=world_size, rank=rank)
@@ -119,9 +130,32 @@ class TrainLoader:
         return len(self.sampler) // self.batch_size
 
     def __iter__(self):
-        buf = []
-        for idx in self.sampler:
-            buf.append(self.dataset[idx])
-            if len(buf) == self.batch_size:
-                yield collate_graphs(buf, self.n_support)
-                buf = []
+        if self.num_workers <= 0:
+            buf = []
+            for idx in self.sampler:
+                buf.append(self.dataset[idx])
+                if len(buf) == self.batch_size:
+                    yield collate_graphs(buf, self.n_support)
+                    buf = []
+            return
+
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        idxs = iter(list(self.sampler))
+        max_outstanding = self.batch_size * (self.prefetch + 1)
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending: deque = deque()
+            for idx in idxs:
+                pending.append(pool.submit(self.dataset.__getitem__, idx))
+                if len(pending) >= max_outstanding:
+                    break
+            buf = []
+            while pending:
+                buf.append(pending.popleft().result())  # ordered
+                nxt = next(idxs, None)
+                if nxt is not None:
+                    pending.append(pool.submit(self.dataset.__getitem__, nxt))
+                if len(buf) == self.batch_size:
+                    yield collate_graphs(buf, self.n_support)
+                    buf = []

@@ -54,6 +54,7 @@ class TrainConfig:
     save_freq: int = 1
     tensorboard: bool = False  # scalar event files under output_dir/tb
     log_every: int = 20        # windowed-metric console cadence (iterations)
+    num_workers: int = 0       # loader threads (0 = synchronous)
     model: dict = dataclasses.field(default_factory=dict)
 
     @property
@@ -81,7 +82,8 @@ class Trainer:
 
         self.train_ds = build_dataset(cfg.train_dataset)
         self.test_ds = build_dataset(cfg.test_dataset) if cfg.test_dataset else None
-        self.loader = TrainLoader(self.train_ds, cfg.batch_size, cfg.n_support)
+        self.loader = TrainLoader(self.train_ds, cfg.batch_size, cfg.n_support,
+                                  num_workers=cfg.num_workers)
         steps = cfg.steps_per_epoch or max(len(self.loader), 1)
         total_steps = steps * cfg.epochs
         self.optimizer = make_optimizer(
@@ -183,7 +185,9 @@ class Trainer:
     def test_one_epoch(self, epoch: int) -> dict:
         if self.test_ds is None:
             return {}
-        loader = TrainLoader(self.test_ds, self.cfg.batch_size, self.cfg.n_support)
+        loader = TrainLoader(self.test_ds, self.cfg.batch_size,
+                             self.cfg.n_support,
+                             num_workers=self.cfg.num_workers)
         loader.set_epoch(epoch)
         losses = []
         with self.mesh:
