@@ -68,6 +68,7 @@ max_view_num: 50
 neighbor_edge_num: 2
 loop_edge_num: 0
 pgo_every: 4
+state_every: 2
 rel_pose_thres: -1.0
 keyframe_detection: flow
 flow_thres: 2.0
@@ -84,6 +85,8 @@ model:
     main(["--config", cfg_path, "--camera", video_file,
           "--max-frames", "6", "--idle-timeout", "3"])
     assert os.path.exists(os.path.join(out, "trajectory.npy"))
+    # live runs checkpoint their SLAM state for crash recovery
+    assert os.path.exists(os.path.join(out, "slam_state.npz"))
     traj = np.load(os.path.join(out, "trajectory.npy"))
     assert traj.shape[0] >= 2  # multiple keyframes made it through
 

@@ -105,6 +105,9 @@ def main(argv=None):
                 continue
             slam.step({"rgb": inputs["rgb"], "gray": inputs["gray"],
                        "view_name": f"live_{slam.view_num:05d}"})
+            state_every = int(cfg.get("state_every", 0) or 0)
+            if state_every and slam.view_num % state_every == 0:
+                slam.save_state(os.path.join(cfg.output_dir, "slam_state.npz"))
             if args.max_frames and slam.view_num >= args.max_frames:
                 break
             if slam.view_num >= cfg.max_view_num:
