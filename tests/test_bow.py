@@ -114,3 +114,25 @@ def test_l1_score_disjoint():
     b = BowVector(np.asarray([3, 4], np.int32), np.asarray([0.5, 0.5], np.float32))
     assert l1_score(a, b) == 0.0
     assert abs(l1_score(a, a) - 1.0) < 1e-6
+
+
+def test_loop_detector_skips_featureless_frames(vocab, corpus):
+    """Frames with no ORB descriptors store a None BoW and are skipped in
+    neighbor-threshold and candidate scoring without breaking detection
+    (reference: loop_detector.py:16-18,31-32,42-43)."""
+    _, _, images = corpus
+    det = LoopDetector(vocab, loop_dist_min=5, loop_nms=1,
+                       loop_cand_thresh_neighbor=3)
+    blank = np.full_like(images[0], 127)  # uniform -> no ORB features
+    seq = ([images[i % 10] for i in range(5)] + [blank]
+           + [images[i % 10] for i in range(5, 10)] + [images[0]])
+    cands = None
+    for i, img in enumerate(seq):
+        cands = det.detect(img, farthest_neighbor=max(0, i - 2))
+    assert det.bow_feats[5] is None  # the blank frame stored None
+    assert cands and cands[0][0] == 0  # revisit still found around it
+
+    # a featureless QUERY returns no candidates but still registers
+    n_before = len(det.bow_feats)
+    assert det.detect(blank, farthest_neighbor=n_before - 2) == []
+    assert len(det.bow_feats) == n_before + 1
