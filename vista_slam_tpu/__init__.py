@@ -20,4 +20,4 @@ Layering (TPU-first, not a port):
   utils/     Config, geometry, image IO, logging, PLY export.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
