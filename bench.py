@@ -72,7 +72,7 @@ def _analytic_decode_flops(cfg, batch):
     return rows * (dec + dpt)
 
 
-def device_loop_time(jit_fn, args, iters, warmup=True):
+def device_loop_time(jit_fn, args, iters):
     """Wall time per iteration of a device-resident fori_loop program."""
     out = jit_fn(*args)
     out.block_until_ready()

@@ -163,6 +163,22 @@ def test_arkitscenes_reader(tmp_path):
     np.testing.assert_allclose(g["main_view"]["camera_pose"][:3, 3],
                                [-0.1 * idx, 0, 0], atol=1e-5)
 
+    # timestamp fallback: no exact traj key -> the LAST key within 0.1 s
+    # wins (the reference scans the whole dict without breaking,
+    # arkitscene.py:331-339)
+    ts = 310.0
+    stem = f"{scene}_{ts:.3f}"
+    cv2.imwrite(str(d / "lowres_wide" / f"{stem}.png"), _rgb(rng))
+    cv2.imwrite(str(d / "lowres_depth" / f"{stem}.png"), _depth_mm(rng))
+    with open(d / "lowres_wide_intrinsics" / f"{stem}.pincam", "w") as f:
+        f.write(f"{W} {H} 80.0 80.0 {W / 2} {H / 2}\n")
+    with open(d / "lowres_wide.traj", "a") as f:
+        f.write("309.950000 0 0 0 7.0 0 0\n310.040000 0 0 0 9.0 0 0\n")
+    ds._traj_cache = {}
+    raw = ds._read_view_raw(str(d), stem, scene)
+    assert raw is not None
+    np.testing.assert_allclose(raw[2][:3, 3], [-9.0, 0, 0], atol=1e-5)
+
 
 # --- Replica (training layout) ----------------------------------------------
 

@@ -47,7 +47,6 @@ class ViewGraphDataset(ComposableDataset):
         self._resolutions = ([resolution] if not isinstance(resolution[0], (list, tuple))
                              else [tuple(r) for r in resolution])
         self.seed = seed
-        self._rng = np.random.default_rng(seed if seed is not None else 1234)
 
         self.scene_names = sorted(
             osp.basename(p).rsplit("_imglist.txt", 1)[0]
@@ -346,14 +345,15 @@ class ARKitScenes(ViewGraphDataset):
         try:
             video_id, ts = view_name.rsplit("_", 1)
             poses = self._load_traj(scene_id)
-            # exact timestamp key, else nearest within 0.1 s (reference:
+            # exact timestamp key, else the LAST key within 0.1 s — the
+            # reference scans the whole dict without breaking, so later
+            # matches overwrite earlier ones (reference:
             # datasets/arkitscene.py:331-339)
             pose = poses.get(f"{float(ts):.3f}")
             if pose is None:
                 for key, cand in poses.items():
                     if abs(float(ts) - float(key)) < 0.1:
                         pose = cand
-                        break
             if pose is None:
                 return None
             pin = osp.join(data_dir, "lowres_wide_intrinsics", f"{view_name}.pincam")

@@ -402,7 +402,11 @@ class OnlineSLAM:
                                  if present else np.zeros((0,), np.float32))
         for k, val in extra.items():
             state[f"extra_{k}"] = np.asarray(val)
-        np.savez_compressed(path, **state)
+        # atomic replace: a crash mid-write must not destroy the previous
+        # checkpoint (this file IS the crash-recovery artifact)
+        tmp = f"{path}.{os.getpid()}.tmp.npz"  # .npz: savez appends it otherwise
+        np.savez_compressed(tmp, **state)
+        os.replace(tmp, path)
 
     def load_state(self, path: str) -> dict:
         """Restore a save_state checkpoint into this (freshly built,
@@ -532,15 +536,21 @@ class OnlineSLAM:
 
             masks = confs > self.conf_thres
             world_pts = unproject_views(depths * scales[..., None], intris, poses)
+            colors = images
             if images.shape[:3] != masks.shape:
                 # stored RGB resolution differs from the SLAM pointmap
                 # resolution: resize instead of silently dropping colors
-                import cv2
+                # (cv2 is optional — degrade to an uncolored PLY without it)
+                try:
+                    import cv2
 
-                h, w = masks.shape[1:3]
-                images = np.stack([cv2.resize(im, (w, h)) for im in images])
+                    h, w = masks.shape[1:3]
+                    colors = np.stack([cv2.resize(im, (w, h)) for im in images])
+                except ImportError:
+                    colors = None
             write_ply(os.path.join(output_folder, "pointcloud.ply"),
-                      world_pts[masks], images[masks])
+                      world_pts[masks],
+                      colors[masks] if colors is not None else None)
         if gt_poses is not None:
             np.save(os.path.join(output_folder, "gt_poses.npy"),
                     np.asarray(gt_poses, np.float32))
