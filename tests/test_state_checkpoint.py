@@ -150,3 +150,28 @@ model:
     # the resumed tail re-encodes in a smaller prefetch bucket; tiny batch
     # numerics are the only allowed difference
     np.testing.assert_allclose(traj_b, traj_a, atol=1e-2)
+
+
+def test_save_state_is_atomic(tmp_path):
+    """Checkpoint writes go through tmp + os.replace: overwriting an
+    existing checkpoint leaves no tmp litter, and a failed write cannot
+    truncate the previous good file."""
+    import glob
+
+    engine = _tiny_engine()
+    slam = OnlineSLAM(engine, max_view_num=8, neighbor_edge_num=1,
+                      loop_edge_num=0, pgo_every=10 ** 6, rel_pose_thres=-1.0)
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        slam.step({"rgb": rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)})
+
+    path = str(tmp_path / "state.npz")
+    slam.save_state(path, frame_cursor=2)
+    first = open(path, "rb").read()
+    slam.save_state(path, frame_cursor=2)  # overwrite in place
+    assert glob.glob(str(tmp_path / "*.tmp.npz")) == []
+    fresh = OnlineSLAM(engine, max_view_num=8, neighbor_edge_num=1,
+                       loop_edge_num=0, pgo_every=10 ** 6, rel_pose_thres=-1.0)
+    assert int(fresh.load_state(path)["frame_cursor"]) == 2
+    assert fresh.view_num == 3
+    assert len(first) > 0
