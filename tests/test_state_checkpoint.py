@@ -175,3 +175,24 @@ def test_save_state_is_atomic(tmp_path):
     assert int(fresh.load_state(path)["frame_cursor"]) == 2
     assert fresh.view_num == 3
     assert len(first) > 0
+
+
+def test_save_state_before_any_decode(tmp_path):
+    """A checkpoint taken after 0 or 1 keyframes (no decode yet: no
+    pointmap store, empty graph) must round-trip cleanly."""
+    engine = _tiny_engine()
+    slam = OnlineSLAM(engine, max_view_num=8, neighbor_edge_num=1,
+                      loop_edge_num=0, pgo_every=10 ** 6, rel_pose_thres=-1.0)
+    rng = np.random.default_rng(6)
+    rgb0 = rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+    slam.step({"rgb": rgb0})  # first keyframe: encode only, no edges
+    path = str(tmp_path / "early.npz")
+    slam.save_state(path, frame_cursor=0)
+
+    fresh = OnlineSLAM(engine, max_view_num=8, neighbor_edge_num=1,
+                       loop_edge_num=0, pgo_every=10 ** 6, rel_pose_thres=-1.0)
+    fresh.load_state(path)
+    assert fresh.view_num == 1 and fresh.graph.num_nodes == 0
+    # continuing from the restored encoder cache works
+    fresh.step({"rgb": rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)})
+    assert fresh.graph.num_edges > 0
