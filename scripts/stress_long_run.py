@@ -59,6 +59,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--keyframes", type=int, default=400)
     ap.add_argument("--pgo-every", type=int, default=100)
+    ap.add_argument("--combine", action="store_true",
+                    help="combine neighbor+loop pairs into one dispatch/fetch")
     ap.add_argument("--out", default="/tmp/stress_out")
     args = ap.parse_args()
 
@@ -90,7 +92,8 @@ def main():
                        loop_cand_thresh_neighbor=5)
     slam = OnlineSLAM(engine, loop_detector=det, max_view_num=n,
                       neighbor_edge_num=3, loop_edge_num=2,
-                      pgo_every=args.pgo_every, rel_pose_thres=-1.0)
+                      pgo_every=args.pgo_every, rel_pose_thres=-1.0,
+                      combine_loop_batch=args.combine)
 
     t0 = time.time()
     for i in range(n):

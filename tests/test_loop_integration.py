@@ -73,3 +73,36 @@ def test_flow_tracker_keyframing():
     m = np.float32([[1, 0, 12], [0, 1, 0]])
     shifted_big = cv2.warpAffine(base, m, base.shape[::-1])
     assert ft.is_new_keyframe(shifted_big)
+
+
+def test_combined_loop_batch_matches_split_schedule():
+    """combine_loop_batch=True (one dispatch/fetch per keyframe, BoW first)
+    must build the same graph and trajectory as the default split schedule
+    (BoW overlapped with the neighbor decode) — only the round-trip count
+    differs. Includes edge rejection so speculative slot gaps differ."""
+    n = 14
+    gt = circle_trajectory(n)
+    images = [make_textured_image(i) for i in range(n - 1)] + \
+             [make_textured_image(0)]
+    vocab = build_vocab(images[: n - 1])
+
+    def run(combined):
+        det = LoopDetector(vocab, loop_dist_min=6, loop_nms=1,
+                           loop_cand_thresh_neighbor=3)
+        fe = SyntheticFrontend(gt, noise=0.06, seed=5, pose_conf=0.8)
+        slam = OnlineSLAM(fe, loop_detector=det, max_view_num=32,
+                          neighbor_edge_num=2, loop_edge_num=2,
+                          pgo_every=500, rel_pose_thres=0.5,
+                          combine_loop_batch=combined)
+        for t in range(n):
+            slam.step({"rgb": np.zeros((4, 4, 3), np.float32),
+                       "gray": images[t]}, force_pgo=(t == n - 1))
+        traj = np.stack([slam.get_view(v)["pose"]
+                         for v in range(slam.view_num)])
+        return slam, traj
+
+    slam_a, traj_a = run(False)
+    slam_b, traj_b = run(True)
+    assert slam_a.get_view_graph() == slam_b.get_view_graph()
+    assert slam_a.graph.num_edges == slam_b.graph.num_edges
+    np.testing.assert_allclose(traj_b, traj_a, atol=1e-5)

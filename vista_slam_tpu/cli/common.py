@@ -82,7 +82,8 @@ def build_slam(cfg: Config, live_mode: bool = False):
         max_view_num=cfg.max_view_num, neighbor_edge_num=cfg.neighbor_edge_num,
         loop_edge_num=cfg.loop_edge_num, conf_thres=cfg.point_conf_thres,
         rel_pose_thres=cfg.rel_pose_thres, flow_thres=cfg.flow_thres,
-        pgo_every=cfg.pgo_every, live_mode=live_mode)
+        pgo_every=cfg.pgo_every, live_mode=live_mode,
+        combine_loop_batch=bool(cfg.get("combine_loop_batch", False)))
 
 
 def select_stride_indices(n_frames: int, stride: int, max_view_num: int):

@@ -58,6 +58,12 @@ class FrontendEngine:
         self.model = STA(self.cfg)
         self.store_sharding = None
         self._batch_sharding = None
+        # When set, every pair decode pads to this ONE bucket. Point: the
+        # per-bucket fused programs may pick different layouts for the
+        # DONATED pointmap-store buffers; alternating buckets then converts
+        # the multi-hundred-MB buffers on every call. One bucket = one
+        # program = stable layout. (A few ms of padded compute is noise.)
+        self.fixed_bucket: int | None = None
         if self.mesh is not None:
             from ..parallel.mesh import param_shardings, replicated
 
@@ -136,6 +142,11 @@ class FrontendEngine:
         self.time_decode = 0.0
 
     # ------------------------------------------------------------------
+    def _bucket_for(self, n: int) -> int:
+        if self.fixed_bucket is not None and n <= self.fixed_bucket:
+            return self.fixed_bucket
+        return _bucket(n)
+
     def _put_batch(self, x: jax.Array) -> jax.Array:
         """dp-shard a batch-leading array when the mesh divides it evenly
         (padded buckets are mesh-divisible by construction)."""
@@ -193,7 +204,7 @@ class FrontendEngine:
         n = len(feats_i)
         assert n >= 1
         t0 = time.time()
-        b = _bucket(n)
+        b = self._bucket_for(n)
         pad = b - n
         f1 = jnp.concatenate(feats_i + [feats_i[-1]] * pad, axis=0).astype(jnp.float32)
         f2 = jnp.concatenate(feats_j + [feats_j[-1]] * pad, axis=0).astype(jnp.float32)
@@ -219,7 +230,7 @@ class FrontendEngine:
         """
         n = len(feats_i)
         t0 = time.time()
-        b = _bucket(n)
+        b = self._bucket_for(n)
         pad = b - n
         f1 = jnp.concatenate(feats_i + [feats_i[-1]] * pad, axis=0).astype(jnp.float32)
         f2 = jnp.concatenate(feats_j + [feats_j[-1]] * pad, axis=0).astype(jnp.float32)

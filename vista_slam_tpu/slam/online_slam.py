@@ -19,6 +19,8 @@ from . import host_math as hm
 from .flow_tracker import FlowTracker
 from .pose_graph import ID_POSE_CONF, PoseGraph
 
+MAX_PAIR_BATCH = 8  # largest frontend decode bucket (slam/frontend.py)
+
 
 class OnlineSLAM:
     def __init__(self, frontend, *, loop_detector=None, verbose: bool = False,
@@ -26,7 +28,8 @@ class OnlineSLAM:
                  loop_edge_num: int = 3, conf_thres: float = 4.2,
                  rel_pose_thres: float = 0.75, flow_thres: float = 5.0,
                  pgo_every: int = 500, live_mode: bool = False,
-                 image_resolution=(224, 224)):
+                 image_resolution=(224, 224),
+                 combine_loop_batch: bool = False):
         self.frontend = frontend
         self.lc_detector = loop_detector
         self.verbose = verbose
@@ -38,6 +41,17 @@ class OnlineSLAM:
         self.pgo_every = pgo_every
         self.live_mode = live_mode
         self.image_resolution = image_resolution
+        # combine neighbor + loop pairs into ONE dispatch/fetch per keyframe
+        # (BoW runs first instead of overlapping the neighbor decode): halves
+        # the per-keyframe host<->device round trips, the right trade when
+        # link latency >> the ~10 ms of host BoW work (e.g. remote devices);
+        # the default split keeps BoW overlapped, best on local PCIe
+        self.combine_loop_batch = combine_loop_batch
+        if combine_loop_batch and hasattr(frontend, "fixed_bucket"):
+            # one decode bucket for every batch size: the per-bucket fused
+            # programs otherwise alternate donated-store layouts, converting
+            # the dense buffers on every keyframe
+            frontend.fixed_bucket = MAX_PAIR_BATCH
 
         # edge sizing identical to the reference (slam.py:33-36); the node
         # buffer gets headroom because speculative batch assignment leaves
@@ -99,32 +113,57 @@ class OnlineSLAM:
         self.view_num += 1
         self.time_dict["encoder"] += time.time() - t0
 
-        # --- neighbor edges: DISPATCH the batched device work, then run the
-        # host-side BoW retrieval while the device computes (the reference
-        # is fully serial here, slam.py:262-277) --------------------------
-        t0 = time.time()
+        # --- neighbor + loop edges (the reference is fully serial here,
+        # slam.py:262-277). Two schedules:
+        #   split (default): dispatch the neighbor batch, run host BoW
+        #     retrieval WHILE the device computes, then a second
+        #     dispatch+fetch for the loop candidates;
+        #   combined: BoW first, then neighbors+loops as ONE dispatch and
+        #     ONE fetch — half the round trips, for high-latency links.
         farthest = max(0, i - self.neighbor_edge_num)
         njs = list(range(farthest, i))
-        pending = self._dispatch_edge_batch(i, njs) if njs else None
-        t_dispatch = time.time() - t0
+        if self.combine_loop_batch:
+            t0 = time.time()
+            loop_cands = (self.lc_detector.detect(gray, farthest)
+                          if self.lc_detector is not None and gray is not None
+                          else [])
+            self.time_dict["lc"] += time.time() - t0
+            loop_js = [j for j, _ in loop_cands[: self.loop_edge_num]]
 
-        t0 = time.time()
-        loop_cands: list[tuple[int, float]] = []
-        if self.lc_detector is not None and gray is not None:
-            loop_cands = self.lc_detector.detect(gray, farthest)
-        self.time_dict["lc"] += time.time() - t0
+            t0 = time.time()
+            js = njs + loop_js  # reference order: neighbors, then loops
+            if js and len(js) <= MAX_PAIR_BATCH:
+                self._finish_edge_batch(i, js, self._dispatch_edge_batch(i, js))
+            else:  # bucket overflow: fall back to two batches
+                if njs:
+                    self._finish_edge_batch(i, njs,
+                                            self._dispatch_edge_batch(i, njs))
+                if loop_js:
+                    self._finish_edge_batch(
+                        i, loop_js, self._dispatch_edge_batch(i, loop_js))
+            self.time_dict["graph_construction"] += time.time() - t0
+        else:
+            t0 = time.time()
+            pending = self._dispatch_edge_batch(i, njs) if njs else None
+            t_dispatch = time.time() - t0
 
-        t0 = time.time()
-        if pending is not None:
-            self._finish_edge_batch(i, njs, pending)
-        t_neighbor = t_dispatch + (time.time() - t0)
+            t0 = time.time()
+            loop_cands = (self.lc_detector.detect(gray, farthest)
+                          if self.lc_detector is not None and gray is not None
+                          else [])
+            self.time_dict["lc"] += time.time() - t0
 
-        t0 = time.time()
-        loop_js = [j for j, _ in loop_cands[: self.loop_edge_num]]
-        if loop_js:
-            self._finish_edge_batch(i, loop_js,
-                                    self._dispatch_edge_batch(i, loop_js))
-        self.time_dict["graph_construction"] += t_neighbor + (time.time() - t0)
+            t0 = time.time()
+            if pending is not None:
+                self._finish_edge_batch(i, njs, pending)
+            t_neighbor = t_dispatch + (time.time() - t0)
+
+            t0 = time.time()
+            loop_js = [j for j, _ in loop_cands[: self.loop_edge_num]]
+            if loop_js:
+                self._finish_edge_batch(i, loop_js,
+                                        self._dispatch_edge_batch(i, loop_js))
+            self.time_dict["graph_construction"] += t_neighbor + (time.time() - t0)
 
         # --- windowed PGO ---------------------------------------------------
         if self.view_num % self.pgo_every == 0 or force_pgo:
