@@ -64,3 +64,36 @@ def test_fused_pads_to_scrap_slot(engine):
     assert float(jnp.abs(store.depth[1]).sum()) > 0
     for untouched in range(2, 9):
         assert float(jnp.abs(store.depth[untouched]).sum()) == 0.0
+
+
+def test_combined_schedule_with_real_engine():
+    """combine_loop_batch through the REAL engine (fixed_bucket pins one
+    fused program — the per-bucket programs may otherwise alternate
+    donated-store layouts) must reproduce the split schedule's graph and
+    trajectory. Exercises a fresh engine per mode since fixed_bucket is
+    set at OnlineSLAM construction."""
+    from vista_slam_tpu.slam.online_slam import OnlineSLAM
+
+    rng = np.random.default_rng(9)
+    rgbs = [rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+            for _ in range(6)]
+
+    def run(combined):
+        _, params = init_params(CFG, seed=0)
+        eng = FrontendEngine(CFG, params)
+        slam = OnlineSLAM(eng, max_view_num=16, neighbor_edge_num=3,
+                          loop_edge_num=0, pgo_every=10 ** 6,
+                          rel_pose_thres=-1.0, combine_loop_batch=combined)
+        if combined:
+            assert eng.fixed_bucket == 8
+        for k, rgb in enumerate(rgbs):
+            slam.step({"rgb": rgb}, force_pgo=(k == len(rgbs) - 1))
+        traj = np.stack([slam.get_view(v, filter_outlier=False)["pose"]
+                         for v in range(slam.view_num)])
+        return slam, traj
+
+    slam_a, traj_a = run(False)
+    slam_b, traj_b = run(True)
+    assert slam_a.get_view_graph() == slam_b.get_view_graph()
+    # bucket padding changes XLA fusion; small numeric drift only
+    np.testing.assert_allclose(traj_b, traj_a, atol=1e-3)
