@@ -178,7 +178,13 @@ def svd_orthogonalize_stable(m: jnp.ndarray, n_iter: int = 100) -> jnp.ndarray:
     """SVD-free orthogonal projection via Newton iteration
     O <- (O + O^-T)/2, with reflection fix — alternative numerics path
     (reference: heads/pose_head.py:60-70, kept for hardware-specific SVD
-    instabilities)."""
+    instabilities).
+
+    n_iter=100 and the degenerate-input behavior (rank-deficient O makes
+    inv() non-finite; det==0 zeroes the last column) deliberately mirror
+    the reference — Newton converges in ~10 iterations, but the extra
+    iterations and failure modes are part of the pinned parity contract
+    (tests/test_pose_head_variants.py vs the torch oracle)."""
     m = m.reshape(m.shape[:-1] + (3, 3)) if m.shape[-1] == 9 else m
     o = m / (jnp.linalg.norm(m, axis=(-2, -1), keepdims=True) + 1e-8)
 

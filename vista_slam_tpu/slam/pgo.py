@@ -114,7 +114,11 @@ def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
     ei = edges[:, 0]
     ej = edges[:, 1]
 
-    def gn_step(x, lam):
+    def linearize(x):
+        """Everything lambda-independent at the point x: residual Jacobians,
+        gradient, H diagonal and undamped block-Jacobi blocks. Carried
+        across REJECTED LM steps (x unchanged there), so the dominant
+        vmapped-jacfwd cost is paid only on acceptance."""
         r, Ji, Jj = _residuals_and_jacobians(x, edges, edge_poses)
         Ji = Ji * mi[..., None]   # fixed endpoints do not move
         Jj = Jj * mj[..., None]
@@ -130,13 +134,17 @@ def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
         diag = jnp.zeros((N, 7), f32)
         diag = diag.at[ei].add(jnp.einsum("er,erc->ec", w, Ji * Ji))
         diag = diag.at[ej].add(jnp.einsum("er,erc->ec", w, Jj * Jj))
-        damp = lam * diag + 1e-10
 
-        # block-Jacobi preconditioner: per-node 7x7 blocks of H + damping
-        blocks = jnp.zeros((N, 7, 7), f32)
-        blocks = blocks.at[ei].add(jnp.einsum("era,er,erb->eab", Ji, w, Ji))
-        blocks = blocks.at[ej].add(jnp.einsum("era,er,erb->eab", Jj, w, Jj))
-        blocks = blocks + jax.vmap(jnp.diag)(damp)
+        # undamped block-Jacobi blocks of H (damping added per lambda)
+        blocks0 = jnp.zeros((N, 7, 7), f32)
+        blocks0 = blocks0.at[ei].add(jnp.einsum("era,er,erb->eab", Ji, w, Ji))
+        blocks0 = blocks0.at[ej].add(jnp.einsum("era,er,erb->eab", Jj, w, Jj))
+        return Ji, Jj, g, diag, blocks0
+
+    def gn_step(lin, lam):
+        Ji, Jj, g, diag, blocks0 = lin
+        damp = lam * diag + 1e-10
+        blocks = blocks0 + jax.vmap(jnp.diag)(damp)
         blocks = blocks + jnp.eye(7, dtype=f32) * 1e-8
         blocks_inv = jnp.linalg.inv(blocks)
 
@@ -187,23 +195,29 @@ def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
         # TrustRegion strategy, slam.py:125)
         norm = jnp.linalg.norm(delta, axis=-1, keepdims=True)
         scale_cap = jnp.minimum(1.0, cfg.max_step_norm / jnp.maximum(norm, 1e-12))
-        delta = jnp.where(jnp.isfinite(delta), delta * scale_cap, 0.0)
-        return delta
+        # guard the PRODUCT: one NaN component makes norm (and so scale_cap)
+        # NaN for that node — checking only delta would leak NaN through the
+        # finite components' delta * scale_cap
+        capped = delta * scale_cap
+        return jnp.where(jnp.isfinite(capped), capped, 0.0)
 
     loss0, _ = _loss(nodes, edges, edge_poses, w)
 
     def lm_cond(state):
-        x, lam, best, plateau, step, done = state
+        x, lin, lam, best, plateau, step, done = state
         return (step < cfg.max_steps) & (~done)
 
     def lm_body(state):
-        x, lam, best, plateau, step, done = state
-        delta = gn_step(x, lam)
+        x, lin, lam, best, plateau, step, done = state
+        delta = gn_step(lin, lam)
         x_new = sim3.normalize(sim3.retract(x, delta * opt))
         new_loss, _ = _loss(x_new, edges, edge_poses, w)
         new_loss = jnp.where(jnp.isfinite(new_loss), new_loss, jnp.inf)
         accept = new_loss < best
         x = jnp.where(accept, x_new, x)
+        # re-linearize only when x moved; a rejected step keeps the current
+        # linearization (identical math, the jacfwd pass is the cost)
+        lin = jax.lax.cond(accept, lambda: linearize(x_new), lambda: lin)
         lam = jnp.where(
             accept,
             jnp.maximum(lam * cfg.lambda_down, cfg.lambda_min),
@@ -217,9 +231,11 @@ def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
         plateau = jnp.where(improved, 0, jnp.where(accept, plateau + 1, plateau))
         best = jnp.minimum(best, new_loss)
         done = plateau >= cfg.patience
-        return x, lam, best, plateau, step + 1, done
+        return x, lin, lam, best, plateau, step + 1, done
 
-    init = (nodes, jnp.asarray(cfg.lambda0, f32), loss0, 0, 0, False)
-    x, lam, best, plateau, steps, _ = jax.lax.while_loop(lm_cond, lm_body, init)
+    init = (nodes, linearize(nodes), jnp.asarray(cfg.lambda0, f32), loss0,
+            0, 0, False)
+    x, _, lam, best, plateau, steps, _ = jax.lax.while_loop(
+        lm_cond, lm_body, init)
     info = {"loss0": loss0, "loss": best, "steps": steps, "lambda": lam}
     return x, info
