@@ -106,3 +106,24 @@ def test_text_loader_tolerates_orbvoc_header_and_blank_lines(tmp_path):
     assert voc2.num_words == voc.num_words
     q = rng.integers(0, 256, (10, 32), np.uint8)
     np.testing.assert_array_equal(voc.transform(q).ids, voc2.transform(q).ids)
+
+
+def test_rejects_unsupported_vocabulary_types(tmp_path):
+    """A DBoW file with non-L1/TF-IDF header types must fail loudly —
+    loading it with our fixed semantics would silently change loop-candidate
+    rankings."""
+    import numpy as np
+    import pytest
+
+    from vista_slam_tpu.native.bow import Vocabulary
+
+    p = str(tmp_path / "voc.txt")
+    line = "0 1 " + " ".join(["3"] * 32) + " 0.25\n"
+    with open(p, "w") as f:
+        f.write("2 1 1 2\n" + line)  # scoring=1 (L2), weighting=2
+    with pytest.raises(ValueError, match="unsupported DBoW"):
+        Vocabulary().load(p)
+    with open(p, "w") as f:
+        f.write("2 1 0 0\n" + line)  # ORBvoc configuration loads fine
+    v = Vocabulary().load(p)
+    assert v.num_words == 1

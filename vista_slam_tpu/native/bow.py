@@ -138,23 +138,20 @@ class Vocabulary:
         n = len(parents)
         v.child_idx = np.full((n, k), -1, np.int32)
         v.child_desc = np.zeros((n, k, 32), np.uint8)
-        counts = np.zeros(n, np.int32)
-        for node in range(1, n):
-            p = parents[node]
-            c = counts[p]
-            if c >= k:  # malformed file; ignore extras
-                continue
-            v.child_idx[p, c] = node
-            v.child_desc[p, c] = descs[node]
-            counts[p] = c + 1
+        if n > 1:
+            # group children by parent; stable sort keeps ascending node-id
+            # order within each parent (same slot order as sequential insert)
+            order = np.argsort(parents[1:], kind="stable").astype(np.int64) + 1
+            p_sorted = parents[order]
+            slot = np.arange(len(order)) - np.searchsorted(p_sorted, p_sorted)
+            ok = slot < k  # malformed extras ignored
+            v.child_idx[p_sorted[ok], slot[ok]] = order[ok]
+            v.child_desc[p_sorted[ok], slot[ok]] = descs[order[ok]]
         v.node_word = np.full(n, -1, np.int32)
         v.node_weight = np.asarray(weights, np.float32)
-        word = 0
-        for node in range(1, n):
-            if is_leaf[node]:
-                v.node_word[node] = word
-                word += 1
-        v.num_words = word
+        leaves = np.flatnonzero(is_leaf)  # word ids in node-id order
+        v.node_word[leaves] = np.arange(len(leaves), dtype=np.int32)
+        v.num_words = int(len(leaves))
         v._finalize()
         return v
 
@@ -165,27 +162,40 @@ class Vocabulary:
         return self.load_dbow_text(path)
 
     def load_dbow_text(self, path: str) -> "Vocabulary":
-        """Parse the DBoW2/DBoW3 plain-text vocabulary format."""
+        """Parse the DBoW2/DBoW3 plain-text vocabulary format.
+
+        Only the ORBvoc.txt configuration (scoring 0 = L1_NORM, weighting
+        0 = TF_IDF) is implemented; other header types would silently
+        change similarity semantics, so they are rejected loudly."""
         with open(path) as f:
             header = f.readline().split()
             k, levels = int(header[0]), int(header[1])
-            parents = [0]
-            descs = [np.zeros(32, np.uint8)]
-            weights = [0.0]
-            is_leaf = [False]
-            for line in f:
-                parts = line.split()
-                if len(parts) < 35:
-                    continue
-                # node ids: root = 0, line n creates node n; the parent field
-                # references those ids directly
-                parents.append(int(parts[0]))
-                is_leaf.append(bool(int(parts[1])))
-                descs.append(np.asarray(parts[2:34], np.uint32).astype(np.uint8))
-                weights.append(float(parts[34]))
-        new = Vocabulary._from_tree(
-            k, levels, np.asarray(parents, np.int32), np.stack(descs),
-            np.asarray(weights, np.float32), np.asarray(is_leaf, bool))
+            if len(header) >= 4 and (int(header[2]), int(header[3])) != (0, 0):
+                raise ValueError(
+                    f"unsupported DBoW vocabulary types in {path}: header "
+                    f"{header[2:4]} — only L1_NORM scoring (0) with TF_IDF "
+                    "weighting (0), the ORBvoc.txt configuration, is "
+                    "implemented")
+            body = f.read()
+        # node ids: root = 0, line n creates node n; the parent field
+        # references those ids directly. Bulk-parse: each node line is 35
+        # numbers (parent is_leaf d0..d31 weight) — ORBvoc-scale files have
+        # ~1M lines, a per-line Python loop takes ~12 s on this box.
+        flat = np.fromstring(body, dtype=np.float64, sep=" ")
+        if flat.size % 35:
+            raise ValueError(f"malformed DBoW text file {path}: "
+                             f"{flat.size} values is not a multiple of 35")
+        rows = flat.reshape(-1, 35)
+        n = len(rows) + 1
+        parents = np.zeros(n, np.int32)
+        parents[1:] = rows[:, 0].astype(np.int32)
+        is_leaf = np.zeros(n, bool)
+        is_leaf[1:] = rows[:, 1] != 0
+        descs = np.zeros((n, 32), np.uint8)
+        descs[1:] = rows[:, 2:34].astype(np.uint8)
+        weights = np.zeros(n, np.float32)
+        weights[1:] = rows[:, 34].astype(np.float32)
+        new = Vocabulary._from_tree(k, levels, parents, descs, weights, is_leaf)
         self.__dict__.update(new.__dict__)
         return self
 
@@ -242,7 +252,8 @@ def _kmajority(desc: np.ndarray, k: int, rng: np.random.Generator, iters: int = 
     m = len(desc)
     k = min(k, m)
     centroids = desc[rng.choice(m, size=k, replace=False)].copy()
-    labels = np.zeros(m, np.int64)
+    labels = np.full(m, -1, np.int64)  # -1: never equals a real assignment,
+    # so the convergence check cannot fire before the first centroid update
     for _ in range(iters):
         dist = hamming(desc[:, None, :], centroids[None, :, :])
         new_labels = dist.argmin(axis=1)

@@ -20,8 +20,12 @@ _LIB = os.path.join(os.path.dirname(__file__), "src", "libvistabow.so")
 def _build() -> str:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
-    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB]
+    # compile to a unique temp name + atomic rename: two processes importing
+    # a fresh checkout concurrently must never dlopen a half-written .so
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _LIB)
     return _LIB
 
 
