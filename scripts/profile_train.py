@@ -44,11 +44,16 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--remat", action="store_true",
                     help="gradient checkpointing (cfg.remat)")
+    ap.add_argument("--img-size", type=int, nargs=2, default=(224, 224),
+                    metavar=("H", "W"),
+                    help="input resolution; 384 512 = the highres fine-tune "
+                         "regime (configs/highres.yaml, 769 tokens -> flash)")
     args = ap.parse_args()
     B, S, K = args.batch, args.support, args.steps
 
     print(f"devices: {jax.devices()}", flush=True)
-    cfg = STAConfig(compute_dtype=jnp.bfloat16, remat=args.remat)
+    cfg = STAConfig(compute_dtype=jnp.bfloat16, remat=args.remat,
+                    img_size=tuple(args.img_size))
     t0 = time.time()
     model, params = init_params_host(cfg, seed=0)
     params = jax.device_put(params)
