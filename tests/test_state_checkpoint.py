@@ -147,9 +147,9 @@ model:
     traj_a = np.load(os.path.join(out_a, "trajectory.npy"))
     traj_b = np.load(os.path.join(out_b, "trajectory.npy"))
     assert np.isfinite(traj_b).all()
-    # the resumed tail re-encodes in a smaller prefetch bucket; tiny batch
-    # numerics are the only allowed difference
-    np.testing.assert_allclose(traj_b, traj_a, atol=1e-2)
+    # prefetch chunks are aligned to fixed keyframe-order boundaries, so the
+    # resumed run re-encodes the exact same batches -> bit-identical result
+    np.testing.assert_allclose(traj_b, traj_a, atol=0.0)
 
 
 def test_save_state_is_atomic(tmp_path):

@@ -59,12 +59,20 @@ def run_sequence(slam, dataset, cfg, progress: bool = True,
             elif t in pending:
                 data, feat = pending.pop(t)
             elif hasattr(slam.frontend, "encode_batch"):
-                upcoming = sorted(s for s in stride_idxes if s >= t)
-                upcoming = upcoming[:PREFETCH_CHUNK]
-                datas = [dataset[s] for s in upcoming]
+                # chunks are aligned to fixed keyframe-order boundaries
+                # (positions 0, C, 2C, ... of the stride schedule), NOT to
+                # the current frame: a resumed run then re-encodes the exact
+                # same batches as the uninterrupted run, so batched-encode
+                # numerics (which differ per batch composition) cannot make
+                # resume trajectories drift from the original
+                ordered = sorted(stride_idxes)
+                pos = ordered.index(t)
+                lo = pos - pos % PREFETCH_CHUNK
+                chunk = ordered[lo: lo + PREFETCH_CHUNK]
+                datas = [dataset[s] for s in chunk]
                 feats = slam.frontend.encode_batch(
                     np.stack([d["rgb"] for d in datas]))
-                pending = dict(zip(upcoming, zip(datas, feats)))
+                pending = dict(zip(chunk, zip(datas, feats)))
                 data, feat = pending.pop(t)
             else:
                 data = dataset[t]

@@ -20,6 +20,9 @@ kernel (native/src/bow.cpp) accelerates descent and scoring when built.
 
 from __future__ import annotations
 
+import io
+import warnings
+
 import numpy as np
 
 _POPCOUNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.uint16)
@@ -181,7 +184,13 @@ class Vocabulary:
         # references those ids directly. Bulk-parse: each node line is 35
         # numbers (parent is_leaf d0..d31 weight) — ORBvoc-scale files have
         # ~1M lines, a per-line Python loop takes ~12 s on this box.
-        flat = np.fromstring(body, dtype=np.float64, sep=" ")
+        try:  # bulk text parse; np.fromstring(sep=' ') is the fast path but
+            # is deprecated-for-removal — fall back if a future NumPy drops it
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", DeprecationWarning)
+                flat = np.fromstring(body, dtype=np.float64, sep=" ")
+        except (AttributeError, ValueError):
+            flat = np.loadtxt(io.StringIO(body), dtype=np.float64).ravel()
         if flat.size % 35:
             raise ValueError(f"malformed DBoW text file {path}: "
                              f"{flat.size} values is not a multiple of 35")

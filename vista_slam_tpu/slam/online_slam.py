@@ -47,11 +47,14 @@ class OnlineSLAM:
         # link latency >> the ~10 ms of host BoW work (e.g. remote devices);
         # the default split keeps BoW overlapped, best on local PCIe
         self.combine_loop_batch = combine_loop_batch
-        if combine_loop_batch and hasattr(frontend, "fixed_bucket"):
-            # one decode bucket for every batch size: the per-bucket fused
-            # programs otherwise alternate donated-store layouts, converting
-            # the dense buffers on every keyframe
-            frontend.fixed_bucket = MAX_PAIR_BATCH
+        if hasattr(frontend, "fixed_bucket"):
+            # combined schedule: one decode bucket for every batch size — the
+            # per-bucket fused programs otherwise alternate donated-store
+            # layouts, converting the dense buffers on every keyframe.
+            # Explicitly cleared otherwise: the engine may be reused from a
+            # previous OnlineSLAM that pinned it (a stale pin silently pads
+            # every decode to the top bucket).
+            frontend.fixed_bucket = MAX_PAIR_BATCH if combine_loop_batch else None
 
         # edge sizing identical to the reference (slam.py:33-36); the node
         # buffer gets headroom because speculative batch assignment leaves
@@ -395,6 +398,13 @@ class OnlineSLAM:
         g = self.graph
         nn, ne, v = g.num_nodes, g.num_edges, self.view_num
         state: dict[str, np.ndarray] = {
+            # config fingerprint, verified on load: resuming into an
+            # OnlineSLAM with different buffer geometry would silently
+            # truncate or misplace state
+            "config_fingerprint": np.asarray(
+                [self.image_resolution[0], self.image_resolution[1],
+                 self.max_view_num, self.neighbor_edge_num,
+                 self.loop_edge_num], np.int64),
             "view_num": np.int64(v),
             "num_nodes": np.int64(nn),
             "num_edges": np.int64(ne),
@@ -454,11 +464,27 @@ class OnlineSLAM:
         import jax.numpy as jnp
 
         z = np.load(path, allow_pickle=False)
-        self.reset()
+        if "config_fingerprint" in z:
+            want = np.asarray(
+                [self.image_resolution[0], self.image_resolution[1],
+                 self.max_view_num, self.neighbor_edge_num,
+                 self.loop_edge_num], np.int64)
+            got = np.asarray(z["config_fingerprint"], np.int64)
+            if not np.array_equal(want, got):
+                raise ValueError(
+                    f"checkpoint config {got.tolist()} does not match this "
+                    f"instance {want.tolist()} "
+                    "(img_h, img_w, max_view_num, neighbor_edge_num, "
+                    "loop_edge_num)")
         g = self.graph
         nn, ne = int(z["num_nodes"]), int(z["num_edges"])
-        assert nn <= g.max_nodes and ne <= g.max_edges, \
-            "checkpoint larger than this instance's graph buffers"
+        # hard errors (not asserts: these guard real user data and must
+        # survive python -O), and they run BEFORE reset() clears live state
+        if nn > g.max_nodes or ne > g.max_edges:
+            raise ValueError(
+                f"checkpoint ({nn} nodes / {ne} edges) larger than this "
+                f"instance's buffers ({g.max_nodes} / {g.max_edges})")
+        self.reset()
         g.num_nodes, g.num_edges = nn, ne
         g.node_poses[:nn] = z["node_poses"]
         g.node_view[:nn] = z["node_view"]
