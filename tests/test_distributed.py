@@ -9,6 +9,8 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
@@ -80,3 +82,67 @@ def test_two_process_distributed_init(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
         assert f"DISTRIBUTED_OK process={pid}" in out, out[-2000:]
+
+
+TRAIN_CHILD = r"""
+import sys
+import jax
+
+from vista_slam_tpu.parallel.distributed import init_distributed
+from vista_slam_tpu.parallel.mesh import make_mesh
+from dist_train_common import run_one_step
+
+expected = float(sys.argv[1])
+info = init_distributed()
+assert info["process_count"] == 2, info
+assert info["global_devices"] == 8, info
+mesh = make_mesh(8, tp=2)  # global (dp=4, tp=2) spanning both processes
+loss = run_one_step(mesh)
+rel = abs(loss - expected) / max(abs(expected), 1e-12)
+assert rel < 1e-5, (loss, expected, rel)
+print(f"TRAIN_STEP_OK process={jax.process_index()} loss={loss}")
+"""
+
+
+def test_two_process_sharded_train_step(tmp_path):
+    """One REAL gradient-synchronized training step across two processes
+    (4 virtual CPU devices each, global (dp=4, tp=2) mesh) must produce the
+    same loss as the single-process 8-device run — the DCN path executing
+    the actual training program, not just init (the reference's DDP
+    contract: croco_misc.py:227-248 + allreduce train.py:398-400)."""
+    from vista_slam_tpu.parallel.mesh import make_mesh
+
+    from dist_train_common import run_one_step
+
+    expected = run_one_step(make_mesh(8, tp=2))
+    assert np.isfinite(expected)
+
+    port = _free_port()
+    script = tmp_path / "train_child.py"
+    script.write_text(TRAIN_CHILD)
+    procs = []
+    for pid in range(2):
+        env = {k: v for k, v in os.environ.items() if "axon" not in v.lower()}
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+            "PYTHONPATH": f"{REPO}:{os.path.join(REPO, 'tests')}",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script), repr(expected)], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+        assert f"TRAIN_STEP_OK process={pid}" in out, out[-2000:]
