@@ -134,7 +134,10 @@ class Vocabulary:
     @staticmethod
     def _from_tree(k, levels, parents, descs, weights, is_leaf):
         """Build padded-children arrays from a parent-pointer tree.
-        Node 0 is the root (no descriptor)."""
+        Node 0 is the root (no descriptor). Rejects trees outside the DBoW
+        envelope (a parent with more than k children) instead of silently
+        truncating: dropped children would silently change word assignment
+        and so loop-candidate rankings."""
         v = Vocabulary()
         v.k = k
         v.levels = levels
@@ -147,9 +150,13 @@ class Vocabulary:
             order = np.argsort(parents[1:], kind="stable").astype(np.int64) + 1
             p_sorted = parents[order]
             slot = np.arange(len(order)) - np.searchsorted(p_sorted, p_sorted)
-            ok = slot < k  # malformed extras ignored
-            v.child_idx[p_sorted[ok], slot[ok]] = order[ok]
-            v.child_desc[p_sorted[ok], slot[ok]] = descs[order[ok]]
+            if (slot >= k).any():
+                bad = int(p_sorted[slot >= k][0])
+                raise ValueError(
+                    f"malformed DBoW tree: node {bad} has more than k={k} "
+                    "children")
+            v.child_idx[p_sorted, slot] = order
+            v.child_desc[p_sorted, slot] = descs[order]
         v.node_word = np.full(n, -1, np.int32)
         v.node_weight = np.asarray(weights, np.float32)
         leaves = np.flatnonzero(is_leaf)  # word ids in node-id order
@@ -167,9 +174,25 @@ class Vocabulary:
     def load_dbow_text(self, path: str) -> "Vocabulary":
         """Parse the DBoW2/DBoW3 plain-text vocabulary format.
 
-        Only the ORBvoc.txt configuration (scoring 0 = L1_NORM, weighting
-        0 = TF_IDF) is implemented; other header types would silently
-        change similarity semantics, so they are rejected loudly."""
+        Supported envelope (everything else raises ValueError; fuzzed in
+        tests/test_bow_text.py):
+          * header `k L [scoring weighting]` with scoring 0 = L1_NORM and
+            weighting 0 = TF_IDF — the ORBvoc.txt configuration. Any other
+            type id would silently change similarity semantics.
+          * one node per line, `parent is_leaf d0..d31 weight` (35 numbers;
+            line n creates node n, root = 0, word ids in leaf-line order —
+            DBoW3 loadFromTextFile's conventions). Node lines may appear in
+            any order (children need not be contiguous or follow their
+            parent). Descend tie-breaking follows child order — ascending
+            node id, matching DBoW3's sequential insert for files DBoW3
+            itself writes — so word assignment (and every score) is
+            invariant to relabelings that preserve each parent's child
+            order, up to a word-id bijection.
+          * parent ids in [0, num_nodes), at most k children per node,
+            integral descriptor bytes in [0, 255], finite weights.
+        The DBoW3 binary `.dbow3`/`.gz` formats are NOT parsed (no
+        published artifact to validate against in this environment); convert
+        with DBoW3's own save-to-text first."""
         with open(path) as f:
             header = f.readline().split()
             k, levels = int(header[0]), int(header[1])
@@ -196,12 +219,28 @@ class Vocabulary:
                              f"{flat.size} values is not a multiple of 35")
         rows = flat.reshape(-1, 35)
         n = len(rows) + 1
+        # validate the envelope LOUDLY (fuzzed in tests/test_bow_text.py):
+        # a silently-wrapped descriptor byte or clipped parent id would
+        # corrupt word assignment — and thereby loop topology — downstream
+        if not np.isfinite(rows).all():
+            raise ValueError(f"malformed DBoW text file {path}: "
+                             "non-finite value in a node line")
+        raw_parents = rows[:, 0]
+        if ((raw_parents < 0) | (raw_parents >= n)
+                | (raw_parents != np.floor(raw_parents))).any():
+            raise ValueError(f"malformed DBoW text file {path}: parent id "
+                             "outside [0, num_nodes) on some node line")
+        raw_desc = rows[:, 2:34]
+        if ((raw_desc < 0) | (raw_desc > 255)
+                | (raw_desc != np.floor(raw_desc))).any():
+            raise ValueError(f"malformed DBoW text file {path}: descriptor "
+                             "byte outside [0, 255] on some node line")
         parents = np.zeros(n, np.int32)
-        parents[1:] = rows[:, 0].astype(np.int32)
+        parents[1:] = raw_parents.astype(np.int32)
         is_leaf = np.zeros(n, bool)
         is_leaf[1:] = rows[:, 1] != 0
         descs = np.zeros((n, 32), np.uint8)
-        descs[1:] = rows[:, 2:34].astype(np.uint8)
+        descs[1:] = raw_desc.astype(np.uint8)
         weights = np.zeros(n, np.float32)
         weights[1:] = rows[:, 34].astype(np.float32)
         new = Vocabulary._from_tree(k, levels, parents, descs, weights, is_leaf)
