@@ -97,3 +97,65 @@ def test_combined_schedule_with_real_engine():
     assert slam_a.get_view_graph() == slam_b.get_view_graph()
     # bucket padding changes XLA fusion; small numeric drift only
     np.testing.assert_allclose(traj_b, traj_a, atol=1e-3)
+
+
+def test_encode_fused_matches_separate_encode(engine):
+    """encode_decode_pairs_fused (encode + decode + store + scales in ONE
+    program) must match a separate encode() followed by decode_pairs_fused
+    on the resulting feature."""
+    rng = np.random.default_rng(2)
+    img = rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+    feats_j = [jnp.asarray(rng.standard_normal((1, 16, 64)), jnp.float32)
+               for _ in range(2)]
+    node_idxs = [0, 1, 2, 3]
+    jobs = [(2, 0)]
+
+    feat_sep = engine.encode(img)
+    store_a = DevicePointmapStore(10, (64, 64))
+    host_a = engine.decode_pairs_fused([feat_sep] * 2, feats_j, store_a,
+                                       node_idxs, jobs)
+
+    store_b = DevicePointmapStore(10, (64, 64))
+    host_b, feat_fused = engine.encode_decode_pairs_fused(
+        img, feats_j, store_b, node_idxs, jobs)
+
+    np.testing.assert_allclose(np.asarray(feat_fused), np.asarray(feat_sep),
+                               atol=1e-5)
+    for k in ("pose_ij", "pose_conf_ij", "mean_conf_i", "K", "scale"):
+        np.testing.assert_allclose(host_b[k], host_a[k], rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(store_b.depth[:4]),
+                               np.asarray(store_a.depth[:4]), atol=1e-3)
+
+
+def test_online_fused_encode_matches_prefetched(engine=None):
+    """The online fused-encode schedule (encode rides the edge-batch
+    program) must reproduce the prefetched-features path: same graph
+    topology, near-identical trajectory."""
+    from vista_slam_tpu.slam.online_slam import OnlineSLAM
+
+    rng = np.random.default_rng(3)
+    rgbs = [rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+            for _ in range(6)]
+
+    def run(prefetch):
+        _, params = init_params(CFG, seed=0)
+        eng = FrontendEngine(CFG, params)
+        slam = OnlineSLAM(eng, max_view_num=16, neighbor_edge_num=3,
+                          loop_edge_num=0, pgo_every=10 ** 6,
+                          rel_pose_thres=-1.0)
+        feats = eng.encode_batch(np.stack(rgbs)) if prefetch else None
+        for k, rgb in enumerate(rgbs):
+            v = {"rgb": rgb}
+            if prefetch:
+                v["enc_feat"] = feats[k]
+            slam.step(v, force_pgo=(k == len(rgbs) - 1))
+        traj = np.stack([slam.get_view(v, filter_outlier=False)["pose"]
+                         for v in range(slam.view_num)])
+        return slam, traj
+
+    slam_a, traj_a = run(prefetch=True)
+    slam_b, traj_b = run(prefetch=False)
+    # the fused-encode path must actually have been exercised
+    assert all(f is not None for f in slam_b.enc_feats)
+    assert slam_a.get_view_graph() == slam_b.get_view_graph()
+    np.testing.assert_allclose(traj_b, traj_a, atol=1e-3)

@@ -110,12 +110,8 @@ class FrontendEngine:
             }
             return host, dense
 
-        def decode_store_scales_fn(params, f1, f2, depth_buf, conf_buf,
-                                   node_idx, job_new, job_first):
-            """Fused per-keyframe edge step: decode + pointmap-store scatter
-            + speculative scale reductions in ONE program (one dispatch, one
-            fetch). node_idx [2b]: store slots in (n_i(k), n_j(k)) pair
-            order; jobs: padded (new, first) slot pairs."""
+        def decode_store_scales_body(params, f1, f2, depth_buf, conf_buf,
+                                     node_idx, job_new, job_first):
             host, dense = decode_fn(params, f1, f2)
             b = f1.shape[0]
             # rows of dense in pair order (dir-i of pair k, then dir-j)
@@ -134,10 +130,40 @@ class FrontendEngine:
             host["scale_conf"] = jnp.sqrt(c_new * c_first).mean(axis=(1, 2))
             return host, depth_buf, conf_buf
 
+        def decode_store_scales_fn(params, f1, f2, depth_buf, conf_buf,
+                                   node_idx, job_new, job_first):
+            """Fused per-keyframe edge step: decode + pointmap-store scatter
+            + speculative scale reductions in ONE program (one dispatch, one
+            fetch). node_idx [2b]: store slots in (n_i(k), n_j(k)) pair
+            order; jobs: padded (new, first) slot pairs."""
+            return decode_store_scales_body(params, f1, f2, depth_buf,
+                                            conf_buf, node_idx, job_new,
+                                            job_first)
+
+        def encode_decode_store_scales_fn(params, img, f2, depth_buf,
+                                          conf_buf, node_idx, job_new,
+                                          job_first):
+            """decode_store_scales_fn with the NEW frame's encode fused into
+            the same program: the i-side of every pair in a keyframe's edge
+            batch is the frame just ingested, so its encode is computed once
+            here and broadcast over the pair batch — one dispatch per
+            keyframe instead of encode + decode (the reference pays a
+            separate serial encoder forward per keyframe,
+            vista_slam/slam.py:144-151 then 263-277). Returns the fresh
+            token cache as the 4th output for the host-side feature cache."""
+            feat = encode_fn(params, img)                       # [1, N, C]
+            f1 = jnp.broadcast_to(feat, (f2.shape[0],) + feat.shape[1:])
+            host, depth_buf, conf_buf = decode_store_scales_body(
+                params, f1, f2, depth_buf, conf_buf, node_idx, job_new,
+                job_first)
+            return host, depth_buf, conf_buf, feat.astype(self.cache_dtype)
+
         self._encode = jax.jit(encode_fn)
         self._decode = jax.jit(decode_fn)
         self._decode_store_scales = jax.jit(decode_store_scales_fn,
                                             donate_argnums=(3, 4))
+        self._encode_decode_store_scales = jax.jit(
+            encode_decode_store_scales_fn, donate_argnums=(3, 4))
         self.time_encode = 0.0
         self.time_decode = 0.0
 
@@ -219,6 +245,24 @@ class FrontendEngine:
         self.time_decode += time.time() - t0
         return out
 
+    def _fused_paddings(self, n: int, b: int, store, node_idxs, jobs):
+        """Static per-bucket paddings: slots for padded pairs go to the
+        scrap slot (last buffer row, never registered in the graph)."""
+        scrap = store.max_nodes - 1
+        idx = np.full(2 * b, scrap, np.int32)
+        idx[: 2 * n] = node_idxs
+        j_max = 2 * b + b * (b - 1) // 2
+        jn = np.zeros(j_max, np.int32)
+        jf = np.zeros(j_max, np.int32)
+        jn[: len(jobs)] = [a for a, _ in jobs]
+        jf[: len(jobs)] = [f for _, f in jobs]
+        return jnp.asarray(idx), jnp.asarray(jn), jnp.asarray(jf)
+
+    @staticmethod
+    def _trim_fused(host, n: int, n_jobs: int) -> dict:
+        return {k: (v[:n] if k not in ("scale", "scale_conf") else v[:n_jobs])
+                for k, v in host.items()}
+
     def decode_pairs_fused(self, feats_i, feats_j, store, node_idxs,
                            jobs) -> dict:
         """One-dispatch edge step (decode + store write + scale reductions).
@@ -234,27 +278,35 @@ class FrontendEngine:
         pad = b - n
         f1 = jnp.concatenate(feats_i + [feats_i[-1]] * pad, axis=0).astype(jnp.float32)
         f2 = jnp.concatenate(feats_j + [feats_j[-1]] * pad, axis=0).astype(jnp.float32)
-
-        # static per-bucket paddings: slots for padded pairs go to the scrap
-        # slot (last buffer row, never registered in the graph)
-        scrap = store.max_nodes - 1
-        idx = np.full(2 * b, scrap, np.int32)
-        idx[: 2 * n] = node_idxs
-        j_max = 2 * b + b * (b - 1) // 2
-        jn = np.zeros(j_max, np.int32)
-        jf = np.zeros(j_max, np.int32)
-        jn[: len(jobs)] = [a for a, _ in jobs]
-        jf[: len(jobs)] = [f for _, f in jobs]
+        idx, jn, jf = self._fused_paddings(n, b, store, node_idxs, jobs)
 
         host, store.depth, store.conf = self._decode_store_scales(
             self.params, self._put_batch(f1), self._put_batch(f2),
-            store.depth, store.conf,
-            jnp.asarray(idx), jnp.asarray(jn), jnp.asarray(jf))
-        host = jax.device_get(host)
-        out = {k: (v[:n] if k not in ("scale", "scale_conf") else v[: len(jobs)])
-               for k, v in host.items()}
+            store.depth, store.conf, idx, jn, jf)
+        out = self._trim_fused(jax.device_get(host), n, len(jobs))
         self.time_decode += time.time() - t0
         return out
+
+    def encode_decode_pairs_fused(self, img_np, feats_j, store, node_idxs,
+                                  jobs) -> tuple[dict, jax.Array]:
+        """decode_pairs_fused with the i-side encode fused in: ONE dispatch
+        covers encode(new frame) + all pair decodes + store writes + scale
+        reductions — the online hot loop's whole device step. Returns
+        (host dict as decode_pairs_fused, the new frame's token cache
+        [1, N, enc_dim] left on device)."""
+        n = len(feats_j)
+        t0 = time.time()
+        b = self._bucket_for(n)
+        pad = b - n
+        f2 = jnp.concatenate(feats_j + [feats_j[-1]] * pad, axis=0).astype(jnp.float32)
+        idx, jn, jf = self._fused_paddings(n, b, store, node_idxs, jobs)
+
+        host, store.depth, store.conf, feat = self._encode_decode_store_scales(
+            self.params, jnp.asarray(img_np, jnp.float32)[None],
+            self._put_batch(f2), store.depth, store.conf, idx, jn, jf)
+        out = self._trim_fused(jax.device_get(host), n, len(jobs))
+        self.time_decode += time.time() - t0
+        return out, feat
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -108,9 +108,20 @@ class OnlineSLAM:
 
         t0 = time.time()
         feat = value.get("enc_feat")
-        if feat is None:
+        farthest = max(0, i - self.neighbor_edge_num)
+        njs = list(range(farthest, i))
+        # fused encode: the new frame's encoder forward rides the first
+        # edge-batch dispatch as ONE device program (frontend.
+        # encode_decode_pairs_fused) — no separate encode dispatch per
+        # keyframe. Falls back to a plain encode when there is no edge batch
+        # to ride (first frame), features were prefetched, or the frontend
+        # doesn't support it (synthetic test frontends).
+        fuse_encode = (feat is None and bool(njs)
+                       and hasattr(self.frontend, "encode_decode_pairs_fused"))
+        if feat is None and not fuse_encode:
             feat = self.frontend.encode(rgb)
-        self.enc_feats.append(feat)
+        self.enc_feats.append(feat)  # None placeholder when fused: filled
+        # by _dispatch_edge_batch before anything consumes it
         self.imgs.append(np.asarray(rgb))
         self.view_names.append(value.get("view_name", f"view_{i}"))
         self.view_num += 1
@@ -123,8 +134,6 @@ class OnlineSLAM:
         #     dispatch+fetch for the loop candidates;
         #   combined: BoW first, then neighbors+loops as ONE dispatch and
         #     ONE fetch — half the round trips, for high-latency links.
-        farthest = max(0, i - self.neighbor_edge_num)
-        njs = list(range(farthest, i))
         if self.combine_loop_batch:
             t0 = time.time()
             loop_cands = (self.lc_detector.detect(gray, farthest)
@@ -135,19 +144,22 @@ class OnlineSLAM:
 
             t0 = time.time()
             js = njs + loop_js  # reference order: neighbors, then loops
+            img = rgb if fuse_encode else None
             if js and len(js) <= MAX_PAIR_BATCH:
-                self._finish_edge_batch(i, js, self._dispatch_edge_batch(i, js))
+                self._finish_edge_batch(i, js,
+                                        self._dispatch_edge_batch(i, js, img))
             else:  # bucket overflow: fall back to two batches
                 if njs:
-                    self._finish_edge_batch(i, njs,
-                                            self._dispatch_edge_batch(i, njs))
+                    self._finish_edge_batch(
+                        i, njs, self._dispatch_edge_batch(i, njs, img))
                 if loop_js:
                     self._finish_edge_batch(
                         i, loop_js, self._dispatch_edge_batch(i, loop_js))
             self.time_dict["graph_construction"] += time.time() - t0
         else:
             t0 = time.time()
-            pending = self._dispatch_edge_batch(i, njs) if njs else None
+            pending = (self._dispatch_edge_batch(
+                i, njs, rgb if fuse_encode else None) if njs else None)
             t_dispatch = time.time() - t0
 
             t0 = time.time()
@@ -211,19 +223,28 @@ class OnlineSLAM:
                 jobs.append((spec_nj[k], fj))
         return spec_ni, spec_nj, node_idxs, jobs, prior_first_i
 
-    def _dispatch_edge_batch(self, i: int, js: list[int]):
+    def _dispatch_edge_batch(self, i: int, js: list[int], img=None):
         """Dispatch all device work for an edge batch without synchronizing.
 
         Fused path (real frontend): decode + store scatter + scale
-        reductions run as ONE program. Fallback path (duck-typed frontends
-        without decode_pairs_fused, e.g. the synthetic test frontend):
-        three chained dispatches with the same dataflow.
+        reductions run as ONE program — with ``img`` given, frame i's
+        encoder forward is fused into that same program and its token cache
+        is filled into ``enc_feats[i]`` here. Fallback path (duck-typed
+        frontends without decode_pairs_fused, e.g. the synthetic test
+        frontend): three chained dispatches with the same dataflow.
         """
         plan = self._plan_edge_batch(i, js)
         spec_ni, spec_nj, node_idxs, jobs, _ = plan
-        f_i = [self.enc_feats[i]] * len(js)
         f_j = [self.enc_feats[j] for j in js]
 
+        if img is not None:
+            store = self._store(self.frontend.cfg.img_size)
+            host_dev, feat = self.frontend.encode_decode_pairs_fused(
+                img, f_j, store, node_idxs, jobs)
+            self.enc_feats[i] = feat
+            return plan, ("fused", host_dev)
+
+        f_i = [self.enc_feats[i]] * len(js)
         if hasattr(self.frontend, "decode_pairs_fused"):
             store = self._store(self.frontend.cfg.img_size)
             host_dev = self.frontend.decode_pairs_fused(
