@@ -40,6 +40,15 @@ arr = jax.device_put(
     NamedSharding(mesh, P("dp", "tp")))
 total = jax.jit(lambda a: a.sum())(arr)
 assert float(total) == 28.0, float(total)
+
+# meter sync: global_avg must reflect BOTH hosts after the collective
+# (reference: croco_misc.py:44-54)
+from vista_slam_tpu.train.metrics import SmoothedValue
+sv = SmoothedValue()
+sv.update(float(jax.process_index() + 1), n=jax.process_index() + 1)
+sv.synchronize_between_processes()
+assert sv.count == 3, sv.count
+assert abs(sv.global_avg - (1.0 * 1 + 2.0 * 2) / 3) < 1e-12, sv.global_avg
 print(f"DISTRIBUTED_OK process={jax.process_index()}")
 """
 

@@ -30,6 +30,24 @@ class SmoothedValue:
         self.total += float(value) * n
         self.count += n
 
+    def synchronize_between_processes(self):
+        """All-reduce count/total across jax.distributed processes so
+        global_avg reflects every host — the window (and so median/avg)
+        stays process-local, exactly like the reference's warning says
+        (reference: utils/croco_misc.py:44-54, dist.all_reduce on
+        [count, total]). No-op in single-process runs."""
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        both = multihost_utils.process_allgather(
+            np.asarray([float(self.count), self.total], np.float64))
+        self.count = int(both[:, 0].sum())
+        self.total = float(both[:, 1].sum())
+
     @property
     def median(self) -> float:
         if not self.window:
@@ -78,6 +96,12 @@ class MetricLogger:
         if name in meters:
             return meters[name]
         raise AttributeError(name)
+
+    def synchronize_between_processes(self):
+        """Sync every meter's count/total across hosts (reference:
+        croco_misc.py:103-106). Collective: every process must call."""
+        for m in self.meters.values():
+            m.synchronize_between_processes()
 
     def summary(self) -> str:
         return "  ".join(f"{k}: {m}" for k, m in self.meters.items())
