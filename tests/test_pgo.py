@@ -216,16 +216,225 @@ def test_pgo_stress_damping_schedule_robustness():
     assert abs(ate(out_a, gt) - ate(out_b, gt)) < 0.3
 
 
-def test_pgo_max_step_norm_guards_bad_linearization():
-    """With the trust-region step cap disabled (huge max_step_norm), the
-    solver must still not produce NaNs thanks to LM rejection; with the cap
-    it must converge at least as well. Pins the max_step_norm semantics."""
-    cfg_cap = PGOConfig(max_steps=40, max_step_norm=1.0)
-    cfg_wild = PGOConfig(max_steps=40, max_step_norm=1e6)
-    gt, init, out_cap, info_cap = _run_stress(cfg_cap)
+def test_pgo_trust_radius_guards_bad_linearization():
+    """The adaptive trust region (radius doubles on accept, shrinks 4x on
+    reject; pypose TrustRegion semantics, reference slam.py:125) must keep
+    the solver finite and convergent both from a tiny initial radius (many
+    capped steps) and from an effectively-uncapped one (LM rejection is the
+    only guard). Pins the radius-adaptation semantics."""
+    cfg_tiny = PGOConfig(max_steps=40, radius0=1.0)
+    cfg_wild = PGOConfig(max_steps=40, radius0=1e6, radius_max=1e6)
+    gt, init, out_tiny, info_tiny = _run_stress(cfg_tiny)
     _, _, out_wild, info_wild = _run_stress(cfg_wild)
-    assert np.isfinite(np.asarray(out_cap)).all()
+    assert np.isfinite(np.asarray(out_tiny)).all()
     assert np.isfinite(np.asarray(out_wild)).all()
-    assert float(info_cap["loss"]) <= 1.5 * float(info_wild["loss0"])
-    assert float(info_cap["loss"]) <= 2.0 * float(info_wild["loss"]) or (
-        float(info_cap["loss"]) < 0.05 * float(info_cap["loss0"]))
+    for info in (info_tiny, info_wild):
+        assert float(info["loss"]) < 0.05 * float(info["loss0"]), info
+    # starting tiny must not strand the solver: the radius grows back
+    la, lb = float(info_tiny["loss"]), float(info_wild["loss"])
+    assert la < 3 * lb and lb < 3 * la, (la, lb)
+
+
+# ---------------------------------------------------------------------------
+# Exact-solver cross-checks (round-2 verdict item 3): the production solver
+# must land on the same optimum as a test-only fp64 LM with DENSE normal
+# equations + Cholesky — the reference's solver shape (reference:
+# vista_slam/slam.py:43,123-137). tests/exact_pgo.py shares residuals/
+# Jacobians/weighting/retraction; only the linear solve differs. These
+# checks are what made solver="dense" the production default: the original
+# 128-iteration block-Jacobi PCG stalled at 0.75 vs the oracle's 0.11 on
+# the windowed stress graph below, and even a 2048-iteration fp64 PCG
+# replica stalled at 0.21 — matrix-free CG cannot solve the long-chain
+# window Hessian at production budgets, while the fp32 dense path matches
+# the fp64 oracle to 4 digits given the same LM step budget.
+
+def _grad_inf(x, edges, poses, confs, valid, mask):
+    """fp64 infinity-norm of the masked PGO gradient at x (first-order
+    optimality measure)."""
+    from vista_slam_tpu.slam.pgo import _residuals_and_jacobians
+
+    x = jnp.asarray(x, jnp.float32)
+    m = np.asarray(mask, bool)
+    e = np.asarray(edges)
+    ei, ej = e[:, 0], e[:, 1]
+    mi = m[ei].astype(np.float64)[:, None]
+    mj = m[ej].astype(np.float64)[:, None]
+    rel = ((mi + mj) > 0).astype(np.float64)
+    w = (np.asarray(confs, np.float64)
+         * np.asarray(valid, np.float64)[:, None] * rel)
+    r, Ji, Jj = _residuals_and_jacobians(x, jnp.asarray(e),
+                                         jnp.asarray(poses))
+    r = np.asarray(r, np.float64)
+    Ji = np.asarray(Ji, np.float64) * mi[..., None]
+    Jj = np.asarray(Jj, np.float64) * mj[..., None]
+    wr = w * r
+    g = np.zeros((x.shape[0], 7))
+    np.add.at(g, ei, np.einsum("erc,er->ec", Ji, wr))
+    np.add.at(g, ej, np.einsum("erc,er->ec", Jj, wr))
+    return np.abs(g * m[:, None]).max()
+
+
+def _cross_check(nodes, edges, poses, confs, valid, mask, *, loss_rtol,
+                 pose_atol=None, cfg=None):
+    """pose_atol=None switches the agreement criterion from node-level pose
+    identity to first-order optimality parity: on degenerate problems (soft
+    chain modes — many configurations with near-equal cost) even two exact
+    solvers on different damping paths land on different points of the same
+    flat valley, so pose identity is not a meaningful contract there."""
+    from exact_pgo import exact_lm
+
+    cfg = cfg or PGOConfig(max_steps=60, rel_decrease=1e-8, patience=6)
+    out_p, info = optimize_pose_graph(nodes, edges, poses, confs, valid,
+                                      mask, cfg)
+    out_e, loss_e = exact_lm(nodes, edges, poses, confs, valid, mask)
+    loss_p = float(info["loss"])
+    assert loss_p <= loss_e * (1 + loss_rtol) and \
+        loss_e <= loss_p * (1 + loss_rtol), (loss_p, loss_e)
+    if pose_atol is not None:
+        # node-level agreement in the tangent space (gauge is anchored by
+        # the fixed nodes, so solutions are directly comparable)
+        d = sim3.log(sim3.mul(sim3.inv(out_e), out_p))
+        d = np.asarray(d)[np.asarray(mask, bool)]
+        assert np.abs(d).max() < pose_atol, np.abs(d).max()
+    else:
+        g0 = _grad_inf(nodes, edges, poses, confs, valid, mask)
+        gp = _grad_inf(out_p, edges, poses, confs, valid, mask)
+        ge = _grad_inf(out_e, edges, poses, confs, valid, mask)
+        assert gp <= 2.5 * ge, (gp, ge)       # same optimality quality
+        assert gp <= 1e-5 * g0, (gp, g0)      # and genuinely converged
+    return loss_p, loss_e
+
+
+def test_pgo_matches_exact_solver_random_graphs():
+    for seed in (0, 1, 2):
+        key = jax.random.PRNGKey(seed)
+        n = 24
+        gt, meas, edges_np = make_chain(n, key, noise=0.08)
+        # add three loop edges (one exact, two noisy) + one scale-only edge
+        extra_e = [(n - 1, 0), (n // 2, 2), (n - 3, n // 2)]
+        extra_m = [sim3.mul(sim3.inv(gt[0]), gt[n - 1]),
+                   sim3.mul(sim3.mul(sim3.inv(gt[2]), gt[n // 2]),
+                            sim3.exp(0.05 * jnp.ones(7))),
+                   sim3.mul(sim3.inv(gt[n // 2]), gt[n - 3])]
+        all_edges = list(map(tuple, edges_np)) + extra_e
+        all_meas = jnp.concatenate([meas] + [m[None] for m in extra_m])
+        e = len(all_edges)
+        rng = np.random.default_rng(seed)
+        confs_real = rng.uniform(0.3, 3.0, (e, 7)).astype(np.float32)
+
+        init = [np.asarray(sim3.identity())]
+        for k in range(1, n):
+            init.append(np.asarray(sim3.mul(jnp.asarray(init[-1]), meas[k - 1])))
+        init = jnp.asarray(np.stack(init))
+        opt_mask = np.ones(n, bool)
+        opt_mask[0] = False
+
+        n_pad, e_pad = 32, 64
+        nodes = pad(np.asarray(init), n_pad, np.asarray(sim3.identity()))
+        edges = pad(np.asarray(all_edges, np.int32), e_pad, np.zeros(2, np.int32))
+        poses = pad(np.asarray(all_meas), e_pad, np.asarray(sim3.identity()))
+        confs = pad(confs_real, e_pad, np.zeros(7, np.float32))
+        valid = pad(np.ones(e, bool), e_pad, np.zeros((), bool))
+        mask = pad(opt_mask, n_pad, np.zeros((), bool))
+        _cross_check(nodes, edges, poses, confs, valid, mask,
+                     loss_rtol=2e-3, pose_atol=2e-2)
+
+
+def test_pgo_matches_exact_solver_stress_graph():
+    """The ill-conditioned stress graph (junk near-zero-confidence edges,
+    bad init, distant strong loop): PCG at the production 128-iteration
+    budget must still reach the exact-solver optimum."""
+    gt, init, all_edges, all_meas, all_confs, opt_mask = _stress_graph(n=60)
+    e = len(all_edges)
+    n_pad, e_pad = 64, 96
+    nodes = pad(np.asarray(init), n_pad, np.asarray(sim3.identity()))
+    edges = pad(np.asarray(all_edges, np.int32), e_pad, np.zeros(2, np.int32))
+    poses = pad(np.stack([np.asarray(m) for m in all_meas]), e_pad,
+                np.asarray(sim3.identity()))
+    confs = pad(np.stack(all_confs), e_pad, np.zeros(7, np.float32))
+    valid = pad(np.ones(e, bool), e_pad, np.zeros((), bool))
+    mask = pad(opt_mask, n_pad, np.zeros((), bool))
+    _cross_check(nodes, edges, poses, confs, valid, mask,
+                 loss_rtol=5e-3, pose_atol=5e-2)
+
+
+def test_pgo_matches_exact_on_production_padded_window():
+    """Production-size padded buffers (4800 node slots / 5200 edge slots,
+    the flagship-config allocation) with a realistic windowed optimization:
+    a 360-view chain with loop closures where only the last 120 views (plus
+    loop-touched early views) are optimized, the rest frozen — the
+    reference's windowed-PGO shape (slam.py:115-121). The dense-Cholesky
+    oracle solves the same window exactly."""
+    key = jax.random.PRNGKey(7)
+    n = 360
+    gt, meas, edges_np = make_chain(n, key, noise=0.04)
+    extra_e = [(n - 1, 3), (n - 40, 10)]
+    extra_m = [sim3.mul(sim3.inv(gt[3]), gt[n - 1]),
+               sim3.mul(sim3.inv(gt[10]), gt[n - 40])]
+    all_edges = list(map(tuple, edges_np)) + extra_e
+    all_meas = jnp.concatenate([meas] + [m[None] for m in extra_m])
+    e = len(all_edges)
+    confs_real = np.ones((e, 7), np.float32)
+    confs_real[-2:] = 5.0
+
+    init = [np.asarray(sim3.identity())]
+    for k in range(1, n):
+        init.append(np.asarray(sim3.mul(jnp.asarray(init[-1]), meas[k - 1])))
+    init = jnp.asarray(np.stack(init))
+    # window: last 120 nodes + the loop-touched early nodes move
+    opt_mask = np.zeros(n, bool)
+    opt_mask[n - 120:] = True
+    opt_mask[3] = opt_mask[10] = True
+
+    n_pad, e_pad = 4800, 5200
+    nodes = pad(np.asarray(init), n_pad, np.asarray(sim3.identity()))
+    edges = pad(np.asarray(all_edges, np.int32), e_pad, np.zeros(2, np.int32))
+    poses = pad(np.asarray(all_meas), e_pad, np.asarray(sim3.identity()))
+    confs = pad(confs_real, e_pad, np.zeros(7, np.float32))
+    valid = pad(np.ones(e, bool), e_pad, np.zeros((), bool))
+    mask = pad(opt_mask, n_pad, np.zeros((), bool))
+    # the coordinated 120-node chain bend needs ~300 Newton steps (the
+    # retraction nonlinearity, not the linear solve, is the bottleneck —
+    # the fp64 oracle takes a comparable accepted-step count); budget both
+    # solvers equivalently so the check isolates linear-solver exactness.
+    # pose_atol=None: this window is degenerate (frozen drifted middle vs
+    # strong loop edges leaves soft modes along the chain — measured
+    # tangent diff up to 5.3 between equally-optimal solutions at loss
+    # delta 1.5e-4), so the contract is optimality parity, not pose
+    # identity.
+    _cross_check(nodes, edges, poses, confs, valid, mask,
+                 loss_rtol=2e-3, pose_atol=None,
+                 cfg=PGOConfig(max_steps=300, rel_decrease=1e-9,
+                               patience=10))
+
+
+def test_pcg_solver_survives_as_fallback():
+    """solver="pcg" (the O(E+N)-memory fallback for windows past
+    dense_max) must still reach the exact optimum on moderately
+    conditioned graphs — its documented envelope."""
+    key = jax.random.PRNGKey(3)
+    n = 24
+    gt, meas, edges_np = make_chain(n, key, noise=0.08)
+    loop = sim3.mul(sim3.inv(gt[0]), gt[n - 1])
+    all_edges = list(map(tuple, edges_np)) + [(n - 1, 0)]
+    all_meas = jnp.concatenate([meas, loop[None]])
+    e = len(all_edges)
+
+    init = [np.asarray(sim3.identity())]
+    for k in range(1, n):
+        init.append(np.asarray(sim3.mul(jnp.asarray(init[-1]), meas[k - 1])))
+    init = jnp.asarray(np.stack(init))
+    opt_mask = np.ones(n, bool)
+    opt_mask[0] = False
+
+    n_pad, e_pad = 32, 32
+    nodes = pad(np.asarray(init), n_pad, np.asarray(sim3.identity()))
+    edges = pad(np.asarray(all_edges, np.int32), e_pad, np.zeros(2, np.int32))
+    poses = pad(np.asarray(all_meas), e_pad, np.asarray(sim3.identity()))
+    confs = pad(np.ones((e, 7), np.float32), e_pad, np.zeros(7, np.float32))
+    valid = pad(np.ones(e, bool), e_pad, np.zeros((), bool))
+    mask = pad(opt_mask, n_pad, np.zeros((), bool))
+    _cross_check(nodes, edges, poses, confs, valid, mask,
+                 loss_rtol=5e-3, pose_atol=3e-2,
+                 cfg=PGOConfig(max_steps=60, rel_decrease=1e-8, patience=6,
+                               solver="pcg"))

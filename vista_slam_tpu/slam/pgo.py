@@ -8,11 +8,16 @@ TPU-native solver:
     buffers, pose_graph.py:5-54), so the whole optimization compiles ONCE.
   * Per-edge residuals r_e = Log(Z_e * X_i^-1 * X_j) and their two 7x7
     tangent-space Jacobians are computed with vmapped forward-mode autodiff.
-  * The normal equations are never materialized: Gauss-Newton steps solve
-    (J^T W J + lambda D) delta = -J^T W r matrix-free with preconditioned
-    conjugate gradients (block-Jacobi 7x7 preconditioner assembled by
-    segment-sum). Memory is O(E + N) instead of the reference's dense
-    (7N)^2 Cholesky factor.
+  * Two linear solvers for the Gauss-Newton system
+    (J^T W J + lambda D) delta = -J^T W r, chosen per call (PGOConfig.
+    solver): the default gathers the optimization window into a padded
+    static bucket and solves exactly with an equilibrated dense Cholesky —
+    the reference's solver shape, sized by the WINDOW rather than the full
+    node buffer — and a matrix-free block-Jacobi PCG fallback with
+    O(E + N) memory for windows past dense_max. The dense default is
+    load-bearing: the cross-check against an fp64 dense-Cholesky oracle
+    (tests/test_pgo.py, tests/exact_pgo.py) showed truncated PCG stalling
+    far above the exact optimum on ill-conditioned long-chain windows.
   * The LM outer loop with damping adaptation and plateau early-exit runs
     inside lax.while_loop (semantics of pypose's TrustRegion +
     StopOnPlateau(steps=20, patience=3, decreasing=1e-4), slam.py:125-127).
@@ -42,9 +47,33 @@ class PGOConfig(NamedTuple):
     lambda_max: float = 1e6
     lambda_up: float = 4.0
     lambda_down: float = 0.5
+    # Linear solver for the normal equations. "dense": gather the optimized
+    # nodes into a padded window and solve exactly with an equilibrated
+    # Cholesky — the reference's solver shape (pypose LM + ppos.Cholesky,
+    # slam.py:43,123-137). "pcg": matrix-free block-Jacobi PCG, O(E + N)
+    # memory. "auto" (default): dense up to dense_max optimized nodes, pcg
+    # beyond. The dense-Cholesky cross-check in tests/test_pgo.py showed why
+    # dense is the default: on a long-chain window entered with large drift
+    # the Hessian is so ill-conditioned that even a 2048-iteration fp64 PCG
+    # stalls ~2x above the exact optimum (0.21 vs 0.11 final loss), which
+    # would move ATE.
+    solver: str = "auto"
+    dense_max: int = 8192
     cg_iters: int = 128
     cg_tol: float = 1e-6
-    max_step_norm: float = 1.0  # per-node tangent-space trust region
+    # Adaptive per-node tangent-space trust region (semantics of pypose's
+    # TrustRegion strategy, reference: slam.py:125 with radius=1e4): the cap
+    # starts at radius0, doubles on every accepted step and shrinks 4x on
+    # every rejection. A fixed cap is NOT enough: a windowed PGO entered
+    # with large accumulated drift needs per-node corrections of O(100) in
+    # the tangent space, and clipping them to O(1) strands the solver far
+    # from the optimum (found by the dense-Cholesky cross-check in
+    # tests/test_pgo.py).
+    radius0: float = 1e4
+    radius_up: float = 2.0
+    radius_down: float = 0.25
+    radius_min: float = 1e-3
+    radius_max: float = 1e6
 
 
 def _edge_residual(xi_i, xi_j, node_i, node_j, edge_pose):
@@ -76,7 +105,6 @@ def _loss(nodes, edges, edge_poses, w):
     return jnp.sum(w * r * r), r
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def optimize_pose_graph(
     nodes: jnp.ndarray,       # [N, 8] Sim(3) elements (padding = identity)
     edges: jnp.ndarray,       # [E, 2] int32 node indices (padding = 0, 0)
@@ -88,18 +116,42 @@ def optimize_pose_graph(
 ):
     """Run windowed LM-PGO; returns (new_nodes, info dict).
 
-    All matmuls run at full fp32 precision: TPU's default reduced-precision
-    matmul corrupts the tiny 7-dim Jacobian/CG products enough to make every
-    Gauss-Newton step get rejected. The arrays involved are small, so
-    HIGHEST costs nothing here.
+    Host-level dispatch (PGO is called with concrete arrays, at most once
+    per pgo_every keyframes): resolves cfg.solver="auto" by counting the
+    optimized nodes and, for the dense solver, buckets the window size to
+    the next power of two so each bucket compiles once.
     """
+    import numpy as np
+
+    solver = cfg.solver
+    k = int(np.asarray(opt_mask).sum())
+    if solver == "auto":
+        solver = "dense" if k <= cfg.dense_max else "pcg"
+    if solver == "dense":
+        k_pad = min(max(32, 1 << max(k - 1, 0).bit_length()),
+                    int(opt_mask.shape[0]))
+    else:
+        k_pad = 0
+    return _optimize_pose_graph_jit(nodes, edges, edge_poses, edge_confs,
+                                    edge_valid, opt_mask, cfg, solver, k_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "solver", "k_pad"))
+def _optimize_pose_graph_jit(nodes, edges, edge_poses, edge_confs,
+                             edge_valid, opt_mask, cfg, solver, k_pad):
+    """All matmuls run at full fp32 precision: TPU's default
+    reduced-precision matmul corrupts the tiny 7-dim Jacobian/CG products
+    enough to make every Gauss-Newton step get rejected. The arrays
+    involved are small, so HIGHEST costs nothing here."""
     with jax.default_matmul_precision("highest"):
         return _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
-                                         edge_valid, opt_mask, cfg)
+                                         edge_valid, opt_mask, cfg, solver,
+                                         k_pad)
 
 
 def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
-                              edge_valid, opt_mask, cfg: PGOConfig):
+                              edge_valid, opt_mask, cfg: PGOConfig,
+                              solver: str = "pcg", k_pad: int = 0):
     N = nodes.shape[0]
     f32 = jnp.float32
     nodes = nodes.astype(f32)
@@ -141,7 +193,76 @@ def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
         blocks0 = blocks0.at[ej].add(jnp.einsum("era,er,erb->eab", Jj, w, Jj))
         return Ji, Jj, g, diag, blocks0
 
-    def gn_step(lin, lam):
+    def dense_solve(lin, lam):
+        """The reference's solver shape: gather the k_pad optimized-node
+        window, assemble the damped normal equations densely, factor with an
+        equilibrated Cholesky (pypose LM + ppos.Cholesky, slam.py:43,
+        123-137; equilibration is ours — it keeps the fp32 factorization
+        honest on the ill-conditioned long-chain windows the cross-check
+        tests construct). Non-PD H yields NaNs, which the LM reject path
+        absorbs (loss -> inf -> reject -> stronger damping)."""
+        Ji, Jj, g, diag, _ = lin
+        opt_idx = jnp.nonzero(opt_mask, size=k_pad, fill_value=N)[0]
+        slot_ok = opt_idx < N
+        col_of = jnp.full((N,), k_pad, jnp.int32).at[opt_idx].set(
+            jnp.arange(k_pad, dtype=jnp.int32), mode="drop")
+        ci = col_of[ei]
+        cj = col_of[ej]
+        D = 7 * k_pad
+        a7 = jnp.arange(7)
+
+        def rows(c):
+            return c[:, None, None] * 7 + a7[None, :, None]
+
+        def cols(c):
+            return c[:, None, None] * 7 + a7[None, None, :]
+
+        Bii = jnp.einsum("era,er,erb->eab", Ji, w, Ji)
+        Bjj = jnp.einsum("era,er,erb->eab", Jj, w, Jj)
+        Bij = jnp.einsum("era,er,erb->eab", Ji, w, Jj)
+        H = jnp.zeros((D, D), f32)
+        # out-of-window endpoints map to column k_pad -> row/col >= D -> drop
+        H = H.at[rows(ci), cols(ci)].add(Bii, mode="drop")
+        H = H.at[rows(cj), cols(cj)].add(Bjj, mode="drop")
+        H = H.at[rows(ci), cols(cj)].add(Bij, mode="drop")
+        H = H.at[rows(cj), cols(ci)].add(jnp.swapaxes(Bij, 1, 2), mode="drop")
+
+        damp = lam * diag + 1e-10                            # [N, 7]
+        damp_k = jnp.where(slot_ok[:, None],
+                           damp[jnp.minimum(opt_idx, N - 1)], 1.0)
+        H = H + jnp.diag(damp_k.reshape(-1))                 # pad slots: I
+        b = jnp.where(slot_ok[:, None],
+                      -g[jnp.minimum(opt_idx, N - 1)], 0.0).reshape(-1)
+
+        s = jax.lax.rsqrt(jnp.maximum(jnp.diag(H), 1e-30))
+        Hs = H * s[:, None] * s[None, :]
+        L = jnp.linalg.cholesky(Hs)
+        y = jax.scipy.linalg.solve_triangular(L, b * s, lower=True)
+        y = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        delta_k = y.reshape(k_pad, 7) * s.reshape(k_pad, 7)
+        return jnp.zeros((N, 7), f32).at[opt_idx].set(
+            jnp.where(slot_ok[:, None], delta_k, 0.0), mode="drop")
+
+    def gn_step(lin, lam, radius):
+        if solver == "dense":
+            delta = dense_solve(lin, lam)
+            return _cap_step(delta, radius)
+        return _cap_step(pcg_solve(lin, lam), radius)
+
+    def _cap_step(delta, radius):
+        # adaptive trust region: cap the per-node tangent step at the
+        # current radius so a bad linear solve cannot launch Exp() into
+        # overflow; the radius itself adapts in the LM loop (pypose
+        # TrustRegion semantics, slam.py:125)
+        norm = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+        scale_cap = jnp.minimum(1.0, radius / jnp.maximum(norm, 1e-12))
+        # guard the PRODUCT: one NaN component makes norm (and so scale_cap)
+        # NaN for that node — checking only delta would leak NaN through the
+        # finite components' delta * scale_cap
+        capped = delta * scale_cap
+        return jnp.where(jnp.isfinite(capped), capped, 0.0)
+
+    def pcg_solve(lin, lam):
         Ji, Jj, g, diag, blocks0 = lin
         damp = lam * diag + 1e-10
         blocks = blocks0 + jax.vmap(jnp.diag)(damp)
@@ -190,26 +311,17 @@ def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
         z0 = precond(b)
         state = (0, x0, b, z0, z0, dot(b, z0))
         _, delta, *_ = jax.lax.while_loop(cg_cond, cg_body, state)
-        # trust region: cap the per-node tangent step so a bad linear solve
-        # cannot launch Exp() into overflow (pypose bounds steps through its
-        # TrustRegion strategy, slam.py:125)
-        norm = jnp.linalg.norm(delta, axis=-1, keepdims=True)
-        scale_cap = jnp.minimum(1.0, cfg.max_step_norm / jnp.maximum(norm, 1e-12))
-        # guard the PRODUCT: one NaN component makes norm (and so scale_cap)
-        # NaN for that node — checking only delta would leak NaN through the
-        # finite components' delta * scale_cap
-        capped = delta * scale_cap
-        return jnp.where(jnp.isfinite(capped), capped, 0.0)
+        return delta
 
     loss0, _ = _loss(nodes, edges, edge_poses, w)
 
     def lm_cond(state):
-        x, lin, lam, best, plateau, step, done = state
+        x, lin, lam, radius, best, plateau, step, done = state
         return (step < cfg.max_steps) & (~done)
 
     def lm_body(state):
-        x, lin, lam, best, plateau, step, done = state
-        delta = gn_step(lin, lam)
+        x, lin, lam, radius, best, plateau, step, done = state
+        delta = gn_step(lin, lam, radius)
         x_new = sim3.normalize(sim3.retract(x, delta * opt))
         new_loss, _ = _loss(x_new, edges, edge_poses, w)
         new_loss = jnp.where(jnp.isfinite(new_loss), new_loss, jnp.inf)
@@ -223,6 +335,11 @@ def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
             jnp.maximum(lam * cfg.lambda_down, cfg.lambda_min),
             jnp.minimum(lam * cfg.lambda_up, cfg.lambda_max),
         )
+        radius = jnp.where(
+            accept,
+            jnp.minimum(radius * cfg.radius_up, cfg.radius_max),
+            jnp.maximum(radius * cfg.radius_down, cfg.radius_min),
+        )
         # plateau counts ACCEPTED steps without meaningful relative decrease
         # (rejected steps retry with stronger damping and don't count,
         # matching the optimizer-internal retry of the reference stack)
@@ -231,11 +348,11 @@ def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
         plateau = jnp.where(improved, 0, jnp.where(accept, plateau + 1, plateau))
         best = jnp.minimum(best, new_loss)
         done = plateau >= cfg.patience
-        return x, lin, lam, best, plateau, step + 1, done
+        return x, lin, lam, radius, best, plateau, step + 1, done
 
-    init = (nodes, linearize(nodes), jnp.asarray(cfg.lambda0, f32), loss0,
-            0, 0, False)
-    x, _, lam, best, plateau, steps, _ = jax.lax.while_loop(
+    init = (nodes, linearize(nodes), jnp.asarray(cfg.lambda0, f32),
+            jnp.asarray(cfg.radius0, f32), loss0, 0, 0, False)
+    x, _, lam, radius, best, plateau, steps, _ = jax.lax.while_loop(
         lm_cond, lm_body, init)
     info = {"loss0": loss0, "loss": best, "steps": steps, "lambda": lam}
     return x, info
