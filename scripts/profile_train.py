@@ -48,6 +48,10 @@ def main():
                     metavar=("H", "W"),
                     help="input resolution; 384 512 = the highres fine-tune "
                          "regime (configs/highres.yaml, 769 tokens -> flash)")
+    ap.add_argument("--trace-dir", default=None,
+                    help="also capture a jax.profiler trace of one timed "
+                         "scan program here (op-level attribution of the "
+                         "step time)")
     args = ap.parse_args()
     B, S, K = args.batch, args.support, args.steps
 
@@ -138,6 +142,13 @@ def main():
         print(f"{flops / 1e12:.2f} TFLOP/step (XLA cost analysis) -> "
               f"{flops / dt / 1e12:.1f} TFLOP/s = {mfu * 100:.1f}% MFU "
               f"of v5e bf16 peak")
+
+    if args.trace_dir:
+        print(f"capturing jax.profiler trace to {args.trace_dir} ...",
+              flush=True)
+        with jax.profiler.trace(args.trace_dir):
+            params, opt_state, losses = compiled(params, opt_state, batch)
+            jax.block_until_ready(losses)
 
 
 if __name__ == "__main__":

@@ -110,3 +110,32 @@ def test_masked_mean_and_norm_factor():
     v = jnp.ones((1, 4, 4), bool)
     f = joint_norm_factor(pts, pts, v, v)
     np.testing.assert_allclose(np.asarray(f), np.sqrt(3), atol=1e-5)
+
+
+def test_bf16_grad_sampler_matches_f32_path():
+    """The bf16-backward sampler (TPU scatter-cost fix; AMP-grade like the
+    reference's fp16-autocast grid_sample) must match the plain f32 gather
+    exactly in the FORWARD and to bf16 tolerance in the BACKWARD."""
+    import jax
+
+    from vista_slam_tpu.train.losses import _grid_sample_nearest
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 12, 16, 3
+    img = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    grid = jnp.asarray(rng.uniform(-1.1, 1.1, (B, H, W, 2)), jnp.float32)
+
+    out_a, va = _grid_sample_nearest(img, grid, bf16_grad=False)
+    out_b, vb = _grid_sample_nearest(img, grid, bf16_grad=True)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+    def loss(img, bf16):
+        out, valid = _grid_sample_nearest(img, grid, bf16_grad=bf16)
+        return jnp.sum(out * valid[..., None] * 0.1)
+
+    g_a = jax.grad(lambda im: loss(im, False))(img)
+    g_b = jax.grad(lambda im: loss(im, True))(img)
+    # collisions accumulate in bf16: relative tolerance ~1e-2
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_a),
+                               rtol=2e-2, atol=2e-3)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -124,19 +125,62 @@ def rel_pose_loss(gt_main, gt_supp, pred_main, pred_supp, w_rot=1.0,
     return jnp.sum(per_sample)
 
 
-def _grid_sample_nearest(img, grid_xy, align_corners=True):
-    """img [B,H,W,C], grid in [-1,1] xy [B,H,W,2] -> nearest sample with
-    zero padding (matches torch grid_sample mode='nearest')."""
-    B, H, W, C = img.shape
+def _nearest_indices(grid_xy, H, W):
+    """grid in [-1,1] xy [B,H,W,2] -> (flat row indices [B,HW], in-bounds
+    mask [B,H,W]) for nearest sampling (torch grid_sample mode='nearest',
+    align_corners=True rounding)."""
     gx = (grid_xy[..., 0] + 1) * 0.5 * (W - 1)
     gy = (grid_xy[..., 1] + 1) * 0.5 * (H - 1)
     ix = jnp.round(gx).astype(jnp.int32)
     iy = jnp.round(gy).astype(jnp.int32)
     valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-    ixc = jnp.clip(ix, 0, W - 1)
-    iyc = jnp.clip(iy, 0, H - 1)
-    bidx = jnp.arange(B)[:, None, None]
-    out = img[bidx, iyc, ixc]
+    flat = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+    B = grid_xy.shape[0]
+    return flat.reshape(B, -1), valid
+
+
+@jax.custom_vjp
+def _take_rows_bf16grad(v, idx):
+    """take_along_axis rows v[B,HW,C] at idx[B,HW] whose VJP scatters the
+    cotangent in bfloat16. TPU scatter-add is row-serial (no atomics) and
+    its cost scales with the row payload: measured on v5e at this shape
+    (8x50176x3), fp32 scatter = 22 ms, bf16 = 11.7 ms, while the forward
+    gather is fastest in fp32 (8.6 ms). bf16 gradient accumulation here is
+    AMP-grade — the reference trains this very sampling under fp16 autocast
+    with fp16 atomic adds (reference: sta_model/train.py:278 autocast +
+    losses_geo.py grid_sample backward)."""
+    return jnp.take_along_axis(v, idx[..., None], axis=1)
+
+
+def _take_rows_fwd(v, idx):
+    # the scatter target has the same shape/dtype as the cotangent (the
+    # gather maps [B,HW,C] -> [B,HW,C]), so idx is the only residual
+    return _take_rows_bf16grad(v, idx), idx
+
+
+def _take_rows_bwd(idx, ct):
+    ct16 = ct.astype(jnp.bfloat16)
+
+    def one(ix, g):
+        return jnp.zeros(g.shape, jnp.bfloat16).at[ix].add(g)
+
+    return jax.vmap(one)(idx, ct16).astype(ct.dtype), None
+
+
+_take_rows_bf16grad.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+def _grid_sample_nearest(img, grid_xy, align_corners=True, bf16_grad=False):
+    """img [B,H,W,C], grid in [-1,1] xy [B,H,W,2] -> nearest sample with
+    zero padding (matches torch grid_sample mode='nearest'). bf16_grad
+    routes the backward scatter through bfloat16 (see
+    _take_rows_bf16grad)."""
+    B, H, W, C = img.shape
+    flat, valid = _nearest_indices(grid_xy, H, W)
+    v = img.reshape(B, H * W, C)
+    out = (_take_rows_bf16grad(v, flat) if bf16_grad
+           else jnp.take_along_axis(v, flat[..., None], axis=1))
+    out = out.reshape(B, H, W, C)
     return jnp.where(valid[..., None], out, 0.0), valid
 
 
@@ -160,12 +204,16 @@ def gt_correspondence(gt_src, gt_tgt, depth_tol=0.05) -> Correspondence:
     y = 2 * uv[..., 1] / (H - 1) - 1
     grid = jnp.stack([x, y], -1).reshape(B, H, W, 2)
 
-    tgt_sel, inb = _grid_sample_nearest(gt_tgt["pts3d_cam"], grid)
-    mask_sel, _ = _grid_sample_nearest(
-        gt_tgt["valid_mask"][..., None].astype(jnp.float32), grid)
+    # ONE fused gather for every GT channel (target z + validity): TPU
+    # gathers of [B*HW, C] rows cost ~the same regardless of C at these
+    # widths, and each extra gather is ~4-8 ms/step on v5e (trace-confirmed)
+    packed = jnp.concatenate(
+        [gt_tgt["pts3d_cam"][..., 2:3],
+         gt_tgt["valid_mask"][..., None].astype(jnp.float32)], axis=-1)
+    sel, inb = _grid_sample_nearest(packed, grid)
     pts_in_tgt = pts.reshape(B, H, W, 3)
-    visible = jnp.abs(pts_in_tgt[..., 2] - tgt_sel[..., 2]) < depth_tol
-    valid = (gt_src["valid_mask"] & (mask_sel[..., 0] >= 1.0) & visible & inb)
+    visible = jnp.abs(pts_in_tgt[..., 2] - sel[..., 0]) < depth_tol
+    valid = (gt_src["valid_mask"] & (sel[..., 1] >= 1.0) & visible & inb)
     return Correspondence(grid, valid)
 
 
@@ -184,7 +232,8 @@ def reproj_loss(gt_main, gt_supp, pred_main, pred_supp):
     scale = masked_mean(jnp.linalg.norm(both * vmask[..., None], axis=-1), vmask, axis=1)
     scale = jnp.where(jnp.isfinite(scale), scale, 1.0)[:, None, None, None]
 
-    supp_sel, _ = _grid_sample_nearest(pred_supp["pts3d"], corr.grid)
+    supp_sel, _ = _grid_sample_nearest(pred_supp["pts3d"], corr.grid,
+                                       bf16_grad=True)
 
     rel = pred_main["pose"]
     pts = pred_main["pts3d"].reshape(B, -1, 3) @ jnp.swapaxes(rel[:, :3, :3], 1, 2) \
