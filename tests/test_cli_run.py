@@ -116,3 +116,23 @@ def test_highres_config_engages_flash():
     mc = STAConfig(**overrides)
     assert mc.use_flash is True
     assert mc.num_patches == 24 * 32
+
+
+def test_pgo_yaml_overrides(tmp_path):
+    """A `pgo:` mapping in the YAML must reach the solver as a PGOConfig
+    (e.g. solver: pcg for latency-sensitive live runs); unknown keys must
+    fail loudly, not silently run defaults."""
+    from vista_slam_tpu.cli.common import build_pgo_config
+    from vista_slam_tpu.utils.config import load_config
+
+    p = str(tmp_path / "c.yaml")
+    with open(p, "w") as f:
+        f.write("pgo:\n  solver: pcg\n  max_steps: 7\n")
+    pc = build_pgo_config(load_config(p))
+    assert pc.solver == "pcg" and pc.max_steps == 7
+    assert build_pgo_config(load_config()) is None
+
+    with open(p, "w") as f:
+        f.write("pgo:\n  solvr: pcg\n")
+    with pytest.raises(ValueError, match="unknown pgo config keys"):
+        build_pgo_config(load_config(p))

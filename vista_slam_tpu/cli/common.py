@@ -72,6 +72,21 @@ def build_loop_detector(cfg: Config):
                         cfg.loop_cand_thresh_neighbor)
 
 
+def build_pgo_config(cfg: Config):
+    """Optional `pgo:` mapping in the YAML overrides PGOConfig fields, e.g.
+    `pgo: {solver: pcg}` to trade the exact dense solve for the
+    O(E+N)-memory PCG on latency-sensitive live runs, or a larger
+    max_steps budget for offline accuracy. Unknown keys fail loudly."""
+    from ..slam.pgo import PGOConfig
+
+    overrides = cfg.get("pgo") or {}
+    bad = set(overrides) - set(PGOConfig._fields)
+    if bad:
+        raise ValueError(f"unknown pgo config keys: {sorted(bad)} "
+                         f"(valid: {list(PGOConfig._fields)})")
+    return PGOConfig(**overrides) if overrides else None
+
+
 def build_slam(cfg: Config, live_mode: bool = False):
     from ..slam.online_slam import OnlineSLAM
 
@@ -83,7 +98,8 @@ def build_slam(cfg: Config, live_mode: bool = False):
         loop_edge_num=cfg.loop_edge_num, conf_thres=cfg.point_conf_thres,
         rel_pose_thres=cfg.rel_pose_thres, flow_thres=cfg.flow_thres,
         pgo_every=cfg.pgo_every, live_mode=live_mode,
-        combine_loop_batch=bool(cfg.get("combine_loop_batch", False)))
+        combine_loop_batch=bool(cfg.get("combine_loop_batch", False)),
+        pgo_config=build_pgo_config(cfg))
 
 
 def select_stride_indices(n_frames: int, stride: int, max_view_num: int):

@@ -17,8 +17,15 @@ import jax
 import jax.numpy as jnp
 
 
-def mha_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
-    """Attention with fp32 logits/softmax, output in v.dtype. [B,H,N,Dh]."""
+def mha_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale) -> jnp.ndarray:
+    """Attention with fp32 logits/softmax, output in v.dtype. [B,H,N,Dh].
+
+    NOT jax.checkpoint-ed: measured on v5e (batch-8 224x224 train step),
+    rematerializing the fp32 score tensors made the step 3x SLOWER (147 ->
+    440 ms) — the checkpoint boundary blocks XLA's fusion across the
+    attention, which costs far more than the ~14 ms/step of score-tensor
+    copies it saves. cfg.remat (whole-block checkpointing for batch 16+)
+    remains the supported memory/compute trade."""
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * jnp.asarray(scale, dtype=jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)

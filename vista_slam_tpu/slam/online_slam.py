@@ -29,7 +29,7 @@ class OnlineSLAM:
                  rel_pose_thres: float = 0.75, flow_thres: float = 5.0,
                  pgo_every: int = 500, live_mode: bool = False,
                  image_resolution=(224, 224),
-                 combine_loop_batch: bool = False):
+                 combine_loop_batch: bool = False, pgo_config=None):
         self.frontend = frontend
         self.lc_detector = loop_detector
         self.verbose = verbose
@@ -39,6 +39,7 @@ class OnlineSLAM:
         self.conf_thres = conf_thres
         self.rel_pose_thres = rel_pose_thres
         self.pgo_every = pgo_every
+        self.pgo_config = pgo_config  # None -> slam.pgo.PGOConfig() defaults
         self.live_mode = live_mode
         self.image_resolution = image_resolution
         # combine neighbor + loop pairs into ONE dispatch/fetch per keyframe
@@ -338,10 +339,13 @@ class OnlineSLAM:
         start_view = max(0, self.view_num - self.pgo_window_size)
         opt_mask = g.opt_mask_for_window(start_view, self.view_num - 1,
                                          self.loop_related_views)
+        from .pgo import PGOConfig
+
         new_nodes, info = optimize_pose_graph(
             jnp.asarray(g.node_poses), jnp.asarray(g.edges),
             jnp.asarray(g.edge_poses), jnp.asarray(g.edge_confs),
-            jnp.asarray(g.edge_valid_mask()), jnp.asarray(opt_mask))
+            jnp.asarray(g.edge_valid_mask()), jnp.asarray(opt_mask),
+            self.pgo_config or PGOConfig())
         g.node_poses = np.array(new_nodes)
         self.loop_related_views = set()
         log(f"pose graph optimization done ({int(info['steps'])} steps, "
