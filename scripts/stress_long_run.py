@@ -61,6 +61,13 @@ def main():
     ap.add_argument("--pgo-every", type=int, default=100)
     ap.add_argument("--combine", action="store_true",
                     help="combine neighbor+loop pairs into one dispatch/fetch")
+    ap.add_argument("--save-resume-at", type=int, default=0, metavar="K",
+                    help="after keyframe K, save_state; at the end, restore "
+                         "into a FRESH OnlineSLAM on the same engine, replay "
+                         "keyframes K..n, and require the resumed run's "
+                         "trajectory to be bit-identical to the "
+                         "uninterrupted one (the live-config crash-recovery "
+                         "contract at scale)")
     ap.add_argument("--out", default="/tmp/stress_out")
     args = ap.parse_args()
 
@@ -95,16 +102,24 @@ def main():
                       pgo_every=args.pgo_every, rel_pose_thres=-1.0,
                       combine_loop_batch=args.combine)
 
+    ckpt_path = os.path.join("/tmp", "stress_state.npz")
     t0 = time.time()
     for i in range(n):
         inputs = to_model_inputs(frames[i])
         slam.step({"rgb": inputs["rgb"], "gray": inputs["gray"],
                    "view_name": f"kf_{i:05d}"}, force_pgo=(i == n - 1))
+        if args.save_resume_at and i + 1 == args.save_resume_at:
+            ts = time.time()
+            slam.save_state(ckpt_path, frame_cursor=i + 1)
+            print(f"  kf {i + 1}: save_state -> {ckpt_path} "
+                  f"({os.path.getsize(ckpt_path) / 1e6:.0f} MB, "
+                  f"{time.time() - ts:.1f}s)", flush=True)
         if (i + 1) % 100 == 0:
             g = slam.graph
             print(f"  kf {i + 1}: nodes {g.num_nodes}/{g.max_nodes} "
                   f"edges {g.num_edges}/{g.max_edges} "
-                  f"({(time.time() - t0) / (i + 1):.2f} s/kf avg)")
+                  f"({(time.time() - t0) / (i + 1):.2f} s/kf avg)",
+                  flush=True)
     wall = time.time() - t0
 
     g = slam.graph
@@ -122,6 +137,36 @@ def main():
     print("trajectory finite; saving artifacts ...")
     slam.save_data_all(args.out)
     print(f"artifacts in {args.out}")
+
+    if args.save_resume_at:
+        k = args.save_resume_at
+        print(f"\nresume check: fresh OnlineSLAM <- {ckpt_path}, "
+              f"replaying keyframes {k}..{n} ...", flush=True)
+        det2 = LoopDetector(vocab, loop_dist_min=40, loop_nms=40,
+                            loop_cand_thresh_neighbor=5)
+        slam2 = OnlineSLAM(engine, loop_detector=det2, max_view_num=n,
+                           neighbor_edge_num=3, loop_edge_num=2,
+                           pgo_every=args.pgo_every, rel_pose_thres=-1.0,
+                           combine_loop_batch=args.combine)
+        extra = slam2.load_state(ckpt_path)
+        t0 = time.time()
+        for i in range(int(extra["frame_cursor"]), n):
+            inputs = to_model_inputs(frames[i])
+            slam2.step({"rgb": inputs["rgb"], "gray": inputs["gray"],
+                        "view_name": f"kf_{i:05d}"}, force_pgo=(i == n - 1))
+        print(f"resumed arm: {n - k} keyframes in {time.time() - t0:.1f}s")
+        traj2 = np.stack([slam2.get_view(v, filter_outlier=False)["pose"]
+                          for v in range(slam2.view_num)])
+        assert slam2.view_num == slam.view_num
+        assert slam2.get_view_graph() == slam.get_view_graph(), \
+            "resumed run changed the view graph"
+        if np.array_equal(traj2, traj):
+            print("resume BIT-IDENTICAL to the uninterrupted run "
+                  f"({slam2.graph.num_edges} edges, "
+                  f"{slam2.view_num} views)")
+        else:
+            d = np.abs(traj2 - traj).max()
+            raise AssertionError(f"resumed trajectory differs (max {d:.3g})")
 
 
 if __name__ == "__main__":
