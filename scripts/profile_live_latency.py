@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--pgo-every", type=int, default=50)
     ap.add_argument("--neighbors", type=int, default=3)
+    ap.add_argument("--ab", action="store_true",
+                    help="interleave a separate-encode-dispatch arm and "
+                         "report the paired fused-vs-separate delta")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")
@@ -46,11 +49,19 @@ def main():
     engine = FrontendEngine(cfg, params)
     print(f"params ready in {time.time() - t0:.1f}s")
 
-    slam = OnlineSLAM(engine, loop_detector=None, live_mode=True,
-                      max_view_num=args.frames + 8,
-                      neighbor_edge_num=args.neighbors, loop_edge_num=0,
-                      pgo_every=args.pgo_every, rel_pose_thres=-1.0,
-                      flow_thres=1.0)
+    def make_slam(fuse):
+        return OnlineSLAM(engine, loop_detector=None, live_mode=True,
+                          max_view_num=args.frames + 8,
+                          neighbor_edge_num=args.neighbors, loop_edge_num=0,
+                          pgo_every=args.pgo_every, rel_pose_thres=-1.0,
+                          flow_thres=1.0, fuse_encode=fuse)
+
+    slam = make_slam(True)
+    # paired A/B arm: identical config but the round-2 schedule (separate
+    # encode dispatch before the edge-batch dispatch). Interleaving the two
+    # arms keyframe-by-keyframe cancels relay drift, which swings 3x across
+    # sessions (BASELINE.md measurement caveat).
+    slam_sep = make_slam(False) if args.ab else None
 
     rng = np.random.default_rng(0)
     h, w = cfg.img_size
@@ -64,28 +75,46 @@ def main():
     # warm up every decode bucket (1, 2, 4 pairs) + the PGO program so the
     # steady-state numbers measure the live path, not compilation
     t0 = time.time()
-    for k in range(args.neighbors + 2):
-        rgb, gray = frame(k)
-        slam.step({"rgb": rgb, "gray": gray})
-    slam.pose_graph_optimize()
-    slam.reset()
+    arms = [slam] + ([slam_sep] if slam_sep else [])
+    for s in arms:
+        for k in range(args.neighbors + 2):
+            rgb, gray = frame(k)
+            s.step({"rgb": rgb, "gray": gray})
+        s.pose_graph_optimize()
+        s.reset()
     print(f"warmup (compile all buckets + PGO): {time.time() - t0:.1f}s")
 
-    lat, pgo_lat = [], []
+    lat, pgo_lat, lat_sep = [], [], []
     for k in range(args.frames):
         rgb, gray = frame(k)
-        t0 = time.time()
         is_kf = slam.flow_tracker.is_new_keyframe(gray) or k == 0
-        if is_kf:
-            ran_pgo = slam.step({"rgb": rgb, "gray": gray}, force_pgo=False)
+        if not is_kf:
+            continue
+        # alternate arm order per keyframe so relay warmth doesn't favor one
+        order = arms if k % 2 == 0 else arms[::-1]
+        for s in order:
+            t0 = time.time()
+            ran_pgo = s.step({"rgb": rgb, "gray": gray}, force_pgo=False)
             dt = time.time() - t0
-            (pgo_lat if ran_pgo else lat).append(dt)
+            if s is slam:
+                (pgo_lat if ran_pgo else lat).append(dt)
+            elif not ran_pgo:
+                lat_sep.append(dt)
 
     steady = np.asarray(lat) * 1e3
     print(f"keyframes: {len(lat) + len(pgo_lat)} of {args.frames} frames")
-    print(f"per-keyframe latency: median {np.median(steady):.0f} ms, "
+    print(f"per-keyframe latency (fused encode+decode dispatch): "
+          f"median {np.median(steady):.0f} ms, "
           f"p90 {np.percentile(steady, 90):.0f} ms, "
           f"min {steady.min():.0f} ms  ({1e3 / np.median(steady):.1f} kf/s)")
+    if lat_sep:
+        sep = np.asarray(lat_sep) * 1e3
+        n = min(len(steady), len(sep))
+        d = sep[:n] - steady[:n]
+        print(f"separate-encode arm: median {np.median(sep):.0f} ms, "
+              f"p90 {np.percentile(sep, 90):.0f} ms, min {sep.min():.0f} ms")
+        print(f"paired delta (separate - fused): median {np.median(d):.0f} ms"
+              f", mean {d.mean():.0f} ms over {n} keyframes")
     if pgo_lat:
         print(f"keyframe+PGO latency: {np.median(pgo_lat) * 1e3:.0f} ms "
               f"(every {args.pgo_every} keyframes)")

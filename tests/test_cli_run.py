@@ -86,9 +86,12 @@ def test_encode_batch_prefetch_equivalence():
                           rel_pose_thres=-1.0)
         feats = (engine.encode_batch(np.stack(rgbs)) if prefetch
                  else [None] * len(rgbs))
-        for k, (rgb, feat) in enumerate(zip(rgbs, feats)):
-            slam.step({"rgb": rgb, "enc_feat": feat},
-                      force_pgo=(k == len(rgbs) - 1))
+        # no PGO: the comparison targets the encode path, and the dense
+        # solver would amplify the ~1e-6 bucket-padding drift along gauge
+        # directions of this degenerate random-weight graph (see
+        # test_fused_step for the objective-level post-PGO pattern)
+        for rgb, feat in zip(rgbs, feats):
+            slam.step({"rgb": rgb, "enc_feat": feat})
         return np.stack([slam.get_view(v, filter_outlier=False)["pose"]
                          for v in range(slam.view_num)])
 

@@ -86,8 +86,8 @@ def test_combined_schedule_with_real_engine():
                           rel_pose_thres=-1.0, combine_loop_batch=combined)
         if combined:
             assert eng.fixed_bucket == 8
-        for k, rgb in enumerate(rgbs):
-            slam.step({"rgb": rgb}, force_pgo=(k == len(rgbs) - 1))
+        for rgb in rgbs:
+            slam.step({"rgb": rgb})
         traj = np.stack([slam.get_view(v, filter_outlier=False)["pose"]
                          for v in range(slam.view_num)])
         return slam, traj
@@ -96,7 +96,20 @@ def test_combined_schedule_with_real_engine():
     slam_b, traj_b = run(True)
     assert slam_a.get_view_graph() == slam_b.get_view_graph()
     # bucket padding changes XLA fusion; small numeric drift only
-    np.testing.assert_allclose(traj_b, traj_a, atol=1e-3)
+    np.testing.assert_allclose(traj_b, traj_a, atol=1e-4)
+    # A random-weight graph is degenerate: the dense-Cholesky solver's exact
+    # Newton steps amplify that ~1e-6 input drift along near-null gauge
+    # directions into visibly different (but EQUALLY optimal) solutions, so
+    # post-PGO poses are compared at the objective level, not elementwise
+    # (same phenomenon as the production-window check in test_pgo.py).
+    info_a = slam_a.pose_graph_optimize()
+    info_b = slam_b.pose_graph_optimize()
+    np.testing.assert_allclose(float(info_b["loss"]), float(info_a["loss"]),
+                               rtol=1e-3)
+    for slam in (slam_a, slam_b):
+        traj = np.stack([slam.get_view(v, filter_outlier=False)["pose"]
+                         for v in range(slam.view_num)])
+        assert np.isfinite(traj).all()
 
 
 def test_encode_fused_matches_separate_encode(engine):

@@ -74,13 +74,27 @@ def test_sharded_inference_matches_single_device():
                           loop_edge_num=0, pgo_every=10 ** 6,
                           rel_pose_thres=-1.0)
         feats = engine.encode_batch(np.stack(rgbs))
-        for k, (rgb, feat) in enumerate(zip(rgbs, feats)):
-            slam.step({"rgb": rgb, "enc_feat": feat},
-                      force_pgo=(k == len(rgbs) - 1))
-        return np.stack([slam.get_view(v, filter_outlier=False)["pose"]
+        for rgb, feat in zip(rgbs, feats):
+            slam.step({"rgb": rgb, "enc_feat": feat})
+        traj = np.stack([slam.get_view(v, filter_outlier=False)["pose"]
                          for v in range(slam.view_num)])
+        return slam, traj
 
-    traj_single = run(None)
-    traj_mesh = run(make_mesh(8))  # dp=2, tp=4 on the virtual CPU mesh
+    slam_single, traj_single = run(None)
+    slam_mesh, traj_mesh = run(make_mesh(8))  # dp=2, tp=4, virtual CPU mesh
     # tp psum reduction order perturbs the pose head's SVD at ~1e-4
     np.testing.assert_allclose(traj_mesh, traj_single, atol=1e-3)
+    # Post-PGO poses are compared at the objective level: a random-weight
+    # graph is degenerate, and the dense-Cholesky solver's exact Newton
+    # steps amplify the ~1e-4 psum-order drift along near-null gauge
+    # directions into different-but-equally-optimal solutions (same
+    # phenomenon as test_fused_step / the production-window check in
+    # test_pgo.py).
+    info_single = slam_single.pose_graph_optimize()
+    info_mesh = slam_mesh.pose_graph_optimize()
+    np.testing.assert_allclose(float(info_mesh["loss"]),
+                               float(info_single["loss"]), rtol=1e-2)
+    for slam in (slam_single, slam_mesh):
+        traj = np.stack([slam.get_view(v, filter_outlier=False)["pose"]
+                         for v in range(slam.view_num)])
+        assert np.isfinite(traj).all()

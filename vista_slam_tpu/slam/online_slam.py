@@ -29,7 +29,8 @@ class OnlineSLAM:
                  rel_pose_thres: float = 0.75, flow_thres: float = 5.0,
                  pgo_every: int = 500, live_mode: bool = False,
                  image_resolution=(224, 224),
-                 combine_loop_batch: bool = False, pgo_config=None):
+                 combine_loop_batch: bool = False, pgo_config=None,
+                 fuse_encode: bool = True):
         self.frontend = frontend
         self.lc_detector = loop_detector
         self.verbose = verbose
@@ -48,6 +49,10 @@ class OnlineSLAM:
         # link latency >> the ~10 ms of host BoW work (e.g. remote devices);
         # the default split keeps BoW overlapped, best on local PCIe
         self.combine_loop_batch = combine_loop_batch
+        # ride the new frame's encoder forward on the edge-batch dispatch
+        # (one device program per keyframe); False keeps the separate encode
+        # dispatch — only useful for A/B latency measurements
+        self.fuse_encode = fuse_encode
         if hasattr(frontend, "fixed_bucket"):
             # combined schedule: one decode bucket for every batch size — the
             # per-bucket fused programs otherwise alternate donated-store
@@ -117,7 +122,7 @@ class OnlineSLAM:
         # keyframe. Falls back to a plain encode when there is no edge batch
         # to ride (first frame), features were prefetched, or the frontend
         # doesn't support it (synthetic test frontends).
-        fuse_encode = (feat is None and bool(njs)
+        fuse_encode = (self.fuse_encode and feat is None and bool(njs)
                        and hasattr(self.frontend, "encode_decode_pairs_fused"))
         if feat is None and not fuse_encode:
             feat = self.frontend.encode(rgb)
@@ -351,6 +356,7 @@ class OnlineSLAM:
         log(f"pose graph optimization done ({int(info['steps'])} steps, "
             f"loss {float(info['loss0']):.4g} -> {float(info['loss']):.4g})",
             Channel.PGO)
+        return info
 
     # ------------------------------------------------------------------
     def get_view(self, v: int, filter_outlier: bool = True):
