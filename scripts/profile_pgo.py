@@ -29,7 +29,22 @@ def main():
     ap.add_argument("--edges", type=int, default=5200)
     ap.add_argument("--real", type=int, default=2000,
                     help="number of real (non-padding) nodes")
+    ap.add_argument("--factor-precision", default=None,
+                    choices=["default", "high", "highest"],
+                    help="dense-factorization matmul precision override")
+    ap.add_argument("--factor-refine", type=int, default=None,
+                    help="iterative-refinement passes override")
+    ap.add_argument("--chol-panel", type=int, default=None,
+                    help="blocked-cholesky panel override; a value >= the "
+                         "window dim falls back to XLA's monolithic cholesky")
     args = ap.parse_args()
+    cfg_kw = {}
+    if args.factor_precision is not None:
+        cfg_kw["factor_precision"] = args.factor_precision
+    if args.factor_refine is not None:
+        cfg_kw["factor_refine"] = args.factor_refine
+    if args.chol_panel is not None:
+        cfg_kw["chol_panel"] = args.chol_panel
 
     print(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
@@ -82,7 +97,7 @@ def main():
     out, info = optimize_pose_graph(
         jnp.asarray(nodes), jnp.asarray(edges_buf), jnp.asarray(meas_buf),
         jnp.asarray(confs), jnp.asarray(valid), jnp.asarray(opt),
-        PGOConfig())
+        PGOConfig(**cfg_kw))
     jax.block_until_ready(out)
     print(f"compile+first solve: {time.time() - t0:.1f}s  "
           f"steps={int(info['steps'])} loss {float(info['loss0']):.4g} -> "
@@ -94,7 +109,7 @@ def main():
         out, info = optimize_pose_graph(
             jnp.asarray(nodes), jnp.asarray(edges_buf), jnp.asarray(meas_buf),
             jnp.asarray(confs), jnp.asarray(valid), jnp.asarray(opt),
-            PGOConfig())
+            PGOConfig(**cfg_kw))
         jax.block_until_ready(out)
     print(f"steady-state solve: {(time.time() - t0) / reps * 1e3:.0f} ms "
           f"({n} nodes / {e} edges padded, {real} real)")

@@ -1,0 +1,85 @@
+"""ops/linalg.blocked_cholesky vs the exact factorization."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vista_slam_tpu.ops.linalg import blocked_cholesky
+
+
+def _spd(n, cond=1e4, seed=0):
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eig = np.logspace(0, -np.log10(cond), n)
+    return (q * eig) @ q.T
+
+
+def test_matches_numpy_small():
+    # below the 2*panel threshold -> exact XLA path
+    a = _spd(96)
+    L = np.asarray(blocked_cholesky(jnp.asarray(a, jnp.float32), panel=64))
+    np.testing.assert_allclose(L, np.linalg.cholesky(a), atol=2e-4)
+
+
+def test_blocked_path_matches_numpy():
+    # 5 panels + ragged pad (n not a multiple of panel)
+    for n, panel in [(320, 64), (300, 64), (448, 128)]:
+        a = _spd(n, seed=n)
+        L = np.asarray(blocked_cholesky(jnp.asarray(a, jnp.float32),
+                                        panel=panel,
+                                        update_precision="highest"))
+        ref = np.linalg.cholesky(a)
+        assert np.allclose(L, ref, atol=5e-4), (n, panel)
+        # strictly lower-triangular output, no pad leakage
+        assert np.allclose(L, np.tril(L)), (n, panel)
+
+
+def test_solve_with_refinement_reaches_fp32_accuracy():
+    """bf16-equivalent trailing updates + 2 refinement passes on the fp32
+    system must reproduce the direct fp64 solution — the contract the PGO
+    dense solver relies on (slam/pgo.py dense_solve). On CPU all matmul
+    precisions are fp32, so this validates the refinement algebra; the
+    mixed-precision speed/accuracy trade is validated on TPU via the
+    oracle cross-check (tests/test_pgo.py) and scripts/profile_pgo.py."""
+    import jax
+    import jax.scipy.linalg as jsl
+
+    n = 640
+    a = _spd(n, cond=1e6, seed=3)
+    b = np.random.default_rng(4).standard_normal(n)
+    s = 1.0 / np.sqrt(np.diag(a))
+    a_eq = a * s[:, None] * s[None, :]
+    b_eq = b * s
+
+    H = jnp.asarray(a_eq, jnp.float32)
+    rhs = jnp.asarray(b_eq, jnp.float32)
+    L = blocked_cholesky(H, panel=128)
+
+    def tri_solve(r):
+        u = jsl.solve_triangular(L, r, lower=True)
+        return jsl.solve_triangular(L.T, u, lower=False)
+
+    y = tri_solve(rhs)
+    for _ in range(2):
+        y = y + tri_solve(rhs - H @ y)
+    x = np.asarray(y) * s
+    ref = np.linalg.solve(a, b)
+
+    # fp64 yardstick: the direct fp32 XLA cholesky solve of the same
+    # equilibrated system (what the solver would do without blocking)
+    L32 = jnp.linalg.cholesky(H)
+    u = jsl.solve_triangular(L32, rhs, lower=True)
+    x32 = np.asarray(jsl.solve_triangular(L32.T, u, lower=False)) * s
+
+    err = np.linalg.norm(x - ref) / np.linalg.norm(ref)
+    err32 = np.linalg.norm(x32 - ref) / np.linalg.norm(ref)
+    # both sit at the fp32 cond*eps floor; blocked+refined must not be
+    # meaningfully worse than the monolithic fp32 factorization
+    assert err < max(2.0 * err32, 1e-5), (err, err32)
+    assert np.isfinite(x).all()
+
+
+def test_non_pd_produces_nans_not_garbage():
+    a = _spd(256, seed=7)
+    a[0, 0] = -1.0  # breaks PD in the first panel
+    L = np.asarray(blocked_cholesky(jnp.asarray(a, jnp.float32), panel=64))
+    assert np.isnan(L[0, 0])

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import sim3
+from ..ops.linalg import blocked_cholesky
 
 
 class PGOConfig(NamedTuple):
@@ -61,6 +62,27 @@ class PGOConfig(NamedTuple):
     dense_max: int = 8192
     cg_iters: int = 128
     cg_tol: float = 1e-6
+    # The dense factorization is the FLOPs bulk of a windowed solve
+    # (O((7K)^3/3) per LM step) and XLA's TPU cholesky runs it at a fixed
+    # ~17 TFLOP/s regardless of the ambient matmul precision (measured,
+    # BASELINE.md). ops/linalg.blocked_cholesky restructures it so the
+    # trailing updates are large MXU matmuls at factor_precision, polished
+    # by factor_refine iterative-refinement passes on the equilibrated fp32
+    # system (mixed-precision Cholesky). Measured on v5e at the 2000-node
+    # window (BASELINE.md): "high" (bf16_3x passes) + 2 refinements lands
+    # on the IDENTICAL 20-step LM trajectory as the exact fp32 solve;
+    # "default" (single bf16 pass) does NOT — its ~2^-8 factor error makes
+    # refinement non-contractive on these windows (loss 0.0136 vs 0.00997
+    # with equal budgets), so bf16 is not offered as the default. The rest
+    # of the solver stays at "highest" — the tiny 7-dim Jacobian/CG
+    # products are corrupted by TPU's bf16 default matmuls
+    # (see _optimize_pose_graph_jit). chol_panel is a granularity FLOOR:
+    # the effective panel grows so the unrolled factorization stays at
+    # <= 16 panels (compile-time bound — see ops/linalg.py); a value
+    # >= D/2 selects XLA's monolithic cholesky.
+    factor_precision: str = "high"
+    factor_refine: int = 2
+    chol_panel: int = 512
     # Adaptive per-node tangent-space trust region (semantics of pypose's
     # TrustRegion strategy, reference: slam.py:125 with radius=1e4): the cap
     # starts at radius0, doubles on every accepted step and shrinks 4x on
@@ -220,25 +242,78 @@ def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
         Bii = jnp.einsum("era,er,erb->eab", Ji, w, Ji)
         Bjj = jnp.einsum("era,er,erb->eab", Jj, w, Jj)
         Bij = jnp.einsum("era,er,erb->eab", Ji, w, Jj)
-        H = jnp.zeros((D, D), f32)
-        # out-of-window endpoints map to column k_pad -> row/col >= D -> drop
-        H = H.at[rows(ci), cols(ci)].add(Bii, mode="drop")
-        H = H.at[rows(cj), cols(cj)].add(Bjj, mode="drop")
-        H = H.at[rows(ci), cols(cj)].add(Bij, mode="drop")
-        H = H.at[rows(cj), cols(ci)].add(jnp.swapaxes(Bij, 1, 2), mode="drop")
 
         damp = lam * diag + 1e-10                            # [N, 7]
         damp_k = jnp.where(slot_ok[:, None],
                            damp[jnp.minimum(opt_idx, N - 1)], 1.0)
-        H = H + jnp.diag(damp_k.reshape(-1))                 # pad slots: I
         b = jnp.where(slot_ok[:, None],
                       -g[jnp.minimum(opt_idx, N - 1)], 0.0).reshape(-1)
 
-        s = jax.lax.rsqrt(jnp.maximum(jnp.diag(H), 1e-30))
-        Hs = H * s[:, None] * s[None, :]
-        L = jnp.linalg.cholesky(Hs)
-        y = jax.scipy.linalg.solve_triangular(L, b * s, lower=True)
-        y = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        # The equilibration scale is known analytically (diag(H) = scattered
+        # undamped diagonal + damping), so the EQUILIBRATED system Hs is
+        # assembled directly from per-edge-scaled 7x7 blocks — the
+        # unequilibrated [D, D] H is never materialized. At the production
+        # window (D = 33600, 4.2 GB per full matrix) building H first and
+        # rescaling it cost two extra full-matrix buffers inside the LM
+        # loop body and pushed the program past HBM.
+        diag_k = jnp.where(slot_ok[:, None],
+                           diag[jnp.minimum(opt_idx, N - 1)], 0.0)
+        s2d = jax.lax.rsqrt(jnp.maximum(diag_k + damp_k, 1e-30))  # [k_pad,7]
+        s = s2d.reshape(-1)
+        s_pad = jnp.concatenate([s2d, jnp.ones((1, 7), f32)])     # row k_pad
+        si = s_pad[jnp.minimum(ci, k_pad)]                        # [E,7]
+        sj = s_pad[jnp.minimum(cj, k_pad)]
+        Bii = Bii * si[:, :, None] * si[:, None, :]
+        Bjj = Bjj * sj[:, :, None] * sj[:, None, :]
+        Bij = Bij * si[:, :, None] * sj[:, None, :]
+        Hs = jnp.zeros((D, D), f32)
+        # out-of-window endpoints map to column k_pad -> row/col >= D -> drop
+        Hs = Hs.at[rows(ci), cols(ci)].add(Bii, mode="drop")
+        Hs = Hs.at[rows(cj), cols(cj)].add(Bjj, mode="drop")
+        Hs = Hs.at[rows(ci), cols(cj)].add(Bij, mode="drop")
+        Hs = Hs.at[rows(cj), cols(ci)].add(jnp.swapaxes(Bij, 1, 2),
+                                           mode="drop")
+        Hs = Hs + jnp.diag((damp_k * s2d * s2d).reshape(-1))  # pad slots: I
+        bs = b * s
+        # Factor at cfg.factor_precision (the O(D^3) bulk, as large MXU
+        # matmuls — see ops/linalg.py), then polish with iterative
+        # refinement: the triangular solves and residuals r = bs - Hs y run
+        # at the ambient "highest" precision, so the refined solution
+        # reaches fp32-factor accuracy with a reduced-precision
+        # factorization. The residual matvec Hs @ y is computed MATRIX-FREE
+        # through the per-edge Jacobians (same scatter form as pcg_solve's
+        # Hv, re-equilibrated) so Hs is dead the moment the factorization
+        # consumes it — keeping the 4.2 GB Hs live across the refinement
+        # loop alongside L pushed the production window past HBM. The upper
+        # solve uses trans=1 rather than materializing L.T (another full-
+        # matrix copy at this size).
+        L = blocked_cholesky(Hs, panel=cfg.chol_panel,
+                             update_precision=cfg.factor_precision)
+
+        def tri_solve(rhs):
+            u = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+            return jax.scipy.linalg.solve_triangular(L, u, trans=1,
+                                                     lower=True)
+
+        def hs_matvec(y):
+            """Equilibrated window matvec: S (J^T W J + damp) S y, with
+            identity rows/cols on pad slots (matches the assembled Hs)."""
+            yk = y.reshape(k_pad, 7)
+            v = jnp.where(slot_ok[:, None], yk * s2d, 0.0)
+            vN = jnp.zeros((N, 7), f32).at[opt_idx].set(v, mode="drop")
+            Jv = (jnp.einsum("erc,ec->er", Ji, vN[ei])
+                  + jnp.einsum("erc,ec->er", Jj, vN[ej]))
+            wJv = w * Jv
+            out = jnp.zeros((N, 7), f32)
+            out = out.at[ei].add(jnp.einsum("erc,er->ec", Ji, wJv))
+            out = out.at[ej].add(jnp.einsum("erc,er->ec", Jj, wJv))
+            out = out + damp * vN
+            out_k = out[jnp.minimum(opt_idx, N - 1)] * s2d
+            return jnp.where(slot_ok[:, None], out_k, yk).reshape(-1)
+
+        y = tri_solve(bs)
+        for _ in range(cfg.factor_refine):
+            y = y + tri_solve(bs - hs_matvec(y))
         delta_k = y.reshape(k_pad, 7) * s.reshape(k_pad, 7)
         return jnp.zeros((N, 7), f32).at[opt_idx].set(
             jnp.where(slot_ok[:, None], delta_k, 0.0), mode="drop")
