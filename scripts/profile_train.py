@@ -48,6 +48,9 @@ def main():
                     metavar=("H", "W"),
                     help="input resolution; 384 512 = the highres fine-tune "
                          "regime (configs/highres.yaml, 769 tokens -> flash)")
+    ap.add_argument("--attn-bf16-grad", action="store_true",
+                    help="store attention probabilities in bf16 for the "
+                         "backward pass (cfg.attn_bf16_grad)")
     ap.add_argument("--trace-dir", default=None,
                     help="also capture a jax.profiler trace of one timed "
                          "scan program here (op-level attribution of the "
@@ -57,7 +60,8 @@ def main():
 
     print(f"devices: {jax.devices()}", flush=True)
     cfg = STAConfig(compute_dtype=jnp.bfloat16, remat=args.remat,
-                    img_size=tuple(args.img_size))
+                    img_size=tuple(args.img_size),
+                    attn_bf16_grad=args.attn_bf16_grad)
     t0 = time.time()
     model, params = init_params_host(cfg, seed=0)
     params = jax.device_put(params)

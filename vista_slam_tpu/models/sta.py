@@ -51,6 +51,9 @@ class STAConfig:
     compute_dtype: Any = jnp.bfloat16
     use_flash: bool | None = None  # None = auto by sequence length
     remat: bool = False  # rematerialize blocks in backward (train memory)
+    # store attention probabilities in bf16 for the backward pass
+    # (ops/attention.mha_xla_bf16res); forward numerics are identical
+    attn_bf16_grad: bool = False
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -91,6 +94,7 @@ class SelfAttention(nn.Module):
     heads: int
     dtype: Any
     use_flash: bool | None
+    bf16_grad: bool = False
 
     @nn.compact
     def __call__(self, x, rope):
@@ -103,7 +107,7 @@ class SelfAttention(nn.Module):
             cos, sin = rope
             q = apply_rope2d(q, cos, sin)
             k = apply_rope2d(k, cos, sin)
-        out = mha(q, k, v, hd ** -0.5, self.use_flash)
+        out = mha(q, k, v, hd ** -0.5, self.use_flash, bf16_grad=self.bf16_grad)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -113,6 +117,7 @@ class CrossAttention(nn.Module):
     heads: int
     dtype: Any
     use_flash: bool | None
+    bf16_grad: bool = False
 
     @nn.compact
     def __call__(self, x, y, rope_q, rope_k):
@@ -125,7 +130,7 @@ class CrossAttention(nn.Module):
         if rope_q is not None:
             q = apply_rope2d(q, *rope_q)
             k = apply_rope2d(k, *rope_k)
-        out = mha(q, k, v, hd ** -0.5, self.use_flash)
+        out = mha(q, k, v, hd ** -0.5, self.use_flash, bf16_grad=self.bf16_grad)
         out = out.transpose(0, 2, 1, 3).reshape(B, Nq, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -136,11 +141,12 @@ class EncoderBlock(nn.Module):
     mlp_ratio: int
     dtype: Any
     use_flash: bool | None
+    bf16_grad: bool = False
 
     @nn.compact
     def __call__(self, x, rope):
         h = _ln("norm1")(x).astype(self.dtype)
-        x = x + SelfAttention(self.dim, self.heads, self.dtype, self.use_flash, name="attn")(h, rope)
+        x = x + SelfAttention(self.dim, self.heads, self.dtype, self.use_flash, self.bf16_grad, name="attn")(h, rope)
         h = _ln("norm2")(x).astype(self.dtype)
         x = x + Mlp(self.dim, self.dim * self.mlp_ratio, self.dtype, name="mlp")(h)
         return x
@@ -154,16 +160,17 @@ class DecoderBlock(nn.Module):
     mlp_ratio: int
     dtype: Any
     use_flash: bool | None
+    bf16_grad: bool = False
 
     @nn.compact
     def __call__(self, x, y, rope, rope_y=None):
         if rope_y is None:
             rope_y = rope
         h = _ln("norm1")(x).astype(self.dtype)
-        x = x + SelfAttention(self.dim, self.heads, self.dtype, self.use_flash, name="attn")(h, rope)
+        x = x + SelfAttention(self.dim, self.heads, self.dtype, self.use_flash, self.bf16_grad, name="attn")(h, rope)
         y_ = _ln("norm_y")(y).astype(self.dtype)
         h = _ln("norm2")(x).astype(self.dtype)
-        x = x + CrossAttention(self.dim, self.heads, self.dtype, self.use_flash, name="cross_attn")(
+        x = x + CrossAttention(self.dim, self.heads, self.dtype, self.use_flash, self.bf16_grad, name="cross_attn")(
             h, y_, rope, rope_y)
         h = _ln("norm3")(x).astype(self.dtype)
         x = x + Mlp(self.dim, self.dim * self.mlp_ratio, self.dtype, name="mlp")(h)
@@ -193,14 +200,14 @@ class STA(nn.Module):
                                   dtype=c.compute_dtype, name="patch_embed")
         self.enc_blocks = [
             Enc(c.enc_dim, c.enc_heads, c.mlp_ratio, c.compute_dtype,
-                c.use_flash, name=f"enc_block{i}")
+                c.use_flash, c.attn_bf16_grad, name=f"enc_block{i}")
             for i in range(c.enc_depth)
         ]
         self.enc_norm = _ln("enc_norm")
         self.decoder_embed = nn.Dense(c.dec_dim, dtype=c.compute_dtype, name="decoder_embed")
         self.dec_blocks = [
             Dec(c.dec_dim, c.dec_heads, c.mlp_ratio, c.compute_dtype,
-                c.use_flash, name=f"dec_block{i}")
+                c.use_flash, c.attn_bf16_grad, name=f"dec_block{i}")
             for i in range(c.dec_depth)
         ]
         self.dec_norm = _ln("dec_norm")

@@ -13,6 +13,8 @@ Inputs are [B, H, N, Dh] (q, k, v already projected and RoPE-rotated).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -34,7 +36,58 @@ def mha_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale) -> jnp.ndarra
     return out.astype(v.dtype)
 
 
-def mha(q, k, v, scale, use_flash: bool | None = None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def mha_xla_bf16res(q, k, v, scale):
+    """`mha_xla` with bf16 BACKWARD residuals (identical forward numerics).
+
+    Under plain autodiff of `mha_xla`, XLA saves the fp32 [B,H,N,N]
+    probability tensor of every attention for the backward pass — the
+    trace-measured "fp32 attention-score residual copies" slice of the
+    training-step roofline (BASELINE.md, ~10% of the 147 ms batch-8 step).
+    This custom_vjp saves the probabilities in bf16 instead (the same
+    values the PV matmul consumes anyway at bf16 compute dtype) and
+    recomputes the softmax VJP from them: halves the residual bytes and
+    drops the fp32->bf16 recast copies, at the cost of ~2^-8 relative
+    error on d(logits) — the same error scale every other bf16 matmul in
+    the model already injects (grad parity pinned in
+    tests/test_attention_grads.py). Forward output is bit-identical to
+    `mha_xla`."""
+    return _bf16res_fwd(q, k, v, scale)[0]
+
+
+def _bf16res_fwd(q, k, v, scale):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * jnp.asarray(scale, dtype=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype), (q, k, v, probs.astype(jnp.bfloat16))
+
+
+def _bf16res_bwd(scale, res, ct):
+    q, k, v, pb = res
+    dv = jnp.einsum("bhqk,bhqd->bhkd", pb, ct,
+                    preferred_element_type=jnp.float32).astype(v.dtype)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", ct, v,
+                    preferred_element_type=jnp.float32)
+    p32 = pb.astype(jnp.float32)
+    # softmax VJP: dlogits = p * (dp - sum(dp * p)); fp32 arithmetic over
+    # bf16-stored probabilities
+    dlog = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+    dlog = (dlog * jnp.asarray(scale, jnp.float32)).astype(q.dtype)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", dlog, k,
+                    preferred_element_type=jnp.float32).astype(q.dtype)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", dlog, q,
+                    preferred_element_type=jnp.float32).astype(k.dtype)
+    return dq, dk, dv
+
+
+mha_xla_bf16res.defvjp(_bf16res_fwd, _bf16res_bwd)
+
+
+def mha(q, k, v, scale, use_flash: bool | None = None,
+        bf16_grad: bool = False):
     """Dispatch between the XLA path and the Pallas flash kernel.
 
     ``use_flash=None`` picks flash automatically once the sequence is long
@@ -50,4 +103,6 @@ def mha(q, k, v, scale, use_flash: bool | None = None):
     if use_flash:
         from .pallas.flash import flash_attention
         return flash_attention(q, k, v, scale)
+    if bf16_grad:
+        return mha_xla_bf16res(q, k, v, float(scale))
     return mha_xla(q, k, v, scale)
