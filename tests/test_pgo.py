@@ -438,3 +438,48 @@ def test_pcg_solver_survives_as_fallback():
                  loss_rtol=5e-3, pose_atol=3e-2,
                  cfg=PGOConfig(max_steps=60, rel_decrease=1e-8, patience=6,
                                solver="pcg"))
+
+
+def test_dense_solver_config_matrix_agrees():
+    """Blocked-vs-monolithic factorization and refinement on/off must land
+    on the same optimum: on CPU every matmul precision is fp32, so the
+    blocked strips/refinement restructuring (ops/linalg.py, added for TPU
+    memory/throughput) is a pure reorganization. Compares achieved loss
+    (elementwise pose comparison is gauge-sensitive, see CLAUDE.md)."""
+    gt, meas, edges = make_chain(90, jax.random.PRNGKey(11), noise=0.08)
+    loops = [(60, 5), (85, 30)]
+    extra = [sim3.mul(sim3.inv(gt[j]), gt[i]) for i, j in loops]
+    opt = np.ones(90, bool)
+    opt[0] = False
+
+    losses = {}
+    for name, kw in {
+        "mono_refine0": dict(chol_panel=10_000, factor_refine=0),
+        "mono_refine2": dict(chol_panel=10_000, factor_refine=2),
+        "blocked_refine0": dict(chol_panel=64, factor_refine=0),
+        "blocked_refine2": dict(chol_panel=64, factor_refine=2),
+    }.items():
+        cfg = PGOConfig(max_steps=25, solver="dense",
+                        factor_precision="highest", **kw)
+        n = gt.shape[0]
+        init = [np.asarray(sim3.identity())]
+        for k in range(1, n):
+            init.append(np.asarray(sim3.mul(jnp.asarray(init[-1]), meas[k - 1])))
+        init = jnp.asarray(np.stack(init))
+        all_edges = list(map(tuple, edges)) + loops
+        all_meas = jnp.concatenate([meas] + [m[None] for m in extra])
+        e = len(all_edges)
+        nodes = pad(np.asarray(init), 128, np.asarray(sim3.identity()))
+        ebuf = pad(np.asarray(all_edges, np.int32), 128, np.zeros(2, np.int32))
+        poses = pad(np.asarray(all_meas), 128, np.asarray(sim3.identity()))
+        confs = jnp.ones((128, 7))
+        valid = pad(np.ones(e, bool), 128, np.zeros((), bool))
+        mask = pad(opt, 128, np.zeros((), bool))
+        out, info = optimize_pose_graph(nodes, ebuf, poses, confs, valid,
+                                        mask, cfg)
+        losses[name] = float(info["loss"])
+        assert losses[name] < 0.5 * float(info["loss0"]), (name, losses[name])
+
+    ref = losses["mono_refine0"]
+    for name, v in losses.items():
+        assert abs(v - ref) <= 1e-3 * max(ref, 1e-6) + 1e-7, (losses,)
