@@ -273,7 +273,10 @@ def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
         Hs = Hs.at[rows(ci), cols(cj)].add(Bij, mode="drop")
         Hs = Hs.at[rows(cj), cols(ci)].add(jnp.swapaxes(Bij, 1, 2),
                                            mode="drop")
-        Hs = Hs + jnp.diag((damp_k * s2d * s2d).reshape(-1))  # pad slots: I
+        aD = jnp.arange(D)
+        # diagonal damping (pad slots: I) via indexed add — jnp.diag(vec)
+        # would build a second [D, D] operand just to add a diagonal
+        Hs = Hs.at[aD, aD].add((damp_k * s2d * s2d).reshape(-1))
         bs = b * s
         # Factor at cfg.factor_precision (the O(D^3) bulk, as large MXU
         # matmuls — see ops/linalg.py), then polish with iterative
