@@ -83,3 +83,15 @@ def test_non_pd_produces_nans_not_garbage():
     a[0, 0] = -1.0  # breaks PD in the first panel
     L = np.asarray(blocked_cholesky(jnp.asarray(a, jnp.float32), panel=64))
     assert np.isnan(L[0, 0])
+
+
+def test_panel_floor_scales_with_dimension():
+    """The effective panel grows to keep <= 16 panels (compile-time bound);
+    result must still match the exact factorization."""
+    n = 1792  # production-shaped 7 * 256; floor 64 -> effective panel 112
+    a = _spd(n, cond=1e5, seed=9)
+    L = np.asarray(blocked_cholesky(jnp.asarray(a, jnp.float32), panel=64,
+                                    update_precision="highest"))
+    ref = np.linalg.cholesky(a)
+    assert np.allclose(L, ref, atol=2e-3)
+    assert np.allclose(L, np.tril(L))
