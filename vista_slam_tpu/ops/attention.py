@@ -91,7 +91,9 @@ def mha(q, k, v, scale, use_flash: bool | None = None,
     """Dispatch between the XLA path and the Pallas flash kernel.
 
     ``use_flash=None`` picks flash automatically once the sequence is long
-    enough for tiling to pay off. Measured on v5e (full decode+heads,
+    enough for tiling to pay off. ``bf16_grad`` selects the bf16-residual
+    backward (`mha_xla_bf16res`) on the einsum path; the flash kernel
+    manages its own residuals. Measured on v5e (full decode+heads,
     BASELINE.md "flash vs einsum"): at 197 tokens (224x224/16) einsum wins
     (9.3 vs 11.5 ms/iter); at 769 tokens (384x512/16) flash wins 1.76x
     (13.7 vs 24.0 ms/iter) — so the crossover sits between those and the
