@@ -67,22 +67,30 @@ class PGOConfig(NamedTuple):
     # ~17 TFLOP/s regardless of the ambient matmul precision (measured,
     # BASELINE.md). ops/linalg.blocked_cholesky restructures it so the
     # trailing updates are large MXU matmuls at factor_precision, polished
-    # by factor_refine iterative-refinement passes on the equilibrated fp32
-    # system (mixed-precision Cholesky). Measured on v5e at the 2000-node
-    # window (BASELINE.md): "high" (bf16_3x passes) + 2 refinements lands
-    # on the IDENTICAL 20-step LM trajectory as the exact fp32 solve;
-    # "default" (single bf16 pass) does NOT — its ~2^-8 factor error makes
-    # refinement non-contractive on these windows (loss 0.0136 vs 0.00997
-    # with equal budgets), so bf16 is not offered as the default. The rest
-    # of the solver stays at "highest" — the tiny 7-dim Jacobian/CG
-    # products are corrupted by TPU's bf16 default matmuls
-    # (see _optimize_pose_graph_jit). chol_panel is a granularity FLOOR:
-    # the effective panel grows so the unrolled factorization stays at
-    # <= 16 panels (compile-time bound — see ops/linalg.py); a value
-    # >= D/2 selects XLA's monolithic cholesky.
+    # by factor_refine iterative-refinement passes (mixed-precision
+    # Cholesky; the refinement residual is matrix-free so only one full
+    # matrix is ever live). chol_panel is a granularity FLOOR: the
+    # effective panel grows so the unrolled factorization stays at <= 16
+    # panels (compile-time bound — see ops/linalg.py); a value >= D/2
+    # selects XLA's monolithic cholesky.
+    #
+    # DEFAULTS ship the monolithic fp32 factorization (chol_panel past any
+    # window dim, no refinement) — the shape hardware-verified at the
+    # production window (15.7 s/solve at 4790 nodes, BASELINE.md). The
+    # blocked mixed-precision path (`pgo: {chol_panel: 512, factor_refine:
+    # 2}` in the YAML) was measured ~11% faster end-to-end at a 2000-node
+    # window in its first formulation, with "high" (bf16_3x) + 2
+    # refinements landing on the IDENTICAL 20-step LM trajectory and
+    # "default" (single bf16 pass) NOT converging (refinement
+    # non-contractive; never ship bf16 factors here) — but its current
+    # memory-lean formulation has not yet been A/B'd on hardware (the dev
+    # relay died mid-measurement), so it stays opt-in. The rest of the
+    # solver runs at "highest" — the tiny 7-dim Jacobian/CG products are
+    # corrupted by TPU's bf16 default matmuls (see
+    # _optimize_pose_graph_jit).
     factor_precision: str = "high"
-    factor_refine: int = 2
-    chol_panel: int = 512
+    factor_refine: int = 0
+    chol_panel: int = 1 << 30
     # Adaptive per-node tangent-space trust region (semantics of pypose's
     # TrustRegion strategy, reference: slam.py:125 with radius=1e4): the cap
     # starts at radius0, doubles on every accepted step and shrinks 4x on
