@@ -95,3 +95,19 @@ def test_panel_floor_scales_with_dimension():
     ref = np.linalg.cholesky(a)
     assert np.allclose(L, ref, atol=2e-3)
     assert np.allclose(L, np.tril(L))
+
+
+def test_production_window_trace_stays_small():
+    """The unrolled chain at the 33600^2 production PGO window must stay at
+    <= 16 panels: a 70-panel trace took XLA's TPU backend >55 min to
+    compile (and crashed the dev relay). Shape-level trace only — nothing
+    is allocated or executed."""
+    import jax
+
+    spec = jax.ShapeDtypeStruct((33600, 33600), jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda H: blocked_cholesky(H, panel=512))(spec).jaxpr
+    prims = [e.primitive.name for e in jaxpr.eqns]
+    assert prims.count("cholesky") <= 16, prims.count("cholesky")
+    # one trailing-update matmul per panel after the first
+    assert prims.count("dot_general") <= 15
