@@ -115,3 +115,44 @@ def test_edge_residual_convention():
     xi_node = sim3.mul(xj, z)
     r = sim3.log(sim3.mul(sim3.mul(z, sim3.inv(xi_node)), xj))
     np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-4)
+
+
+def test_log_near_pi_rotation_roundtrip():
+    """theta -> pi is the classic quaternion-log failure corner (w -> 0,
+    atan2 branch): exp(log(g)) must still reproduce g there."""
+    axis = np.array([[1.0, 0, 0], [0, 1.0, 0],
+                     [1.0, 1.0, 1.0] / np.sqrt(3.0)], np.float32)
+    for eps in (1e-3, 1e-5, 0.0):
+        angle = np.float32(np.pi - eps)
+        q = np.asarray(sim3.so3_exp_quat(jnp.asarray(axis * angle)))
+        g = jnp.concatenate([
+            jnp.asarray(np.array([[0.3, -0.2, 1.0]] * 3, np.float32)),
+            jnp.asarray(q),
+            jnp.full((3, 1), 1.7, jnp.float32)], axis=-1)
+        g2 = sim3.exp(sim3.log(g))
+        # compare as group elements: d = g^-1 g2 ~ identity (quaternion
+        # double cover makes raw component comparison invalid at pi)
+        d = sim3.mul(sim3.inv(g), g2)
+        np.testing.assert_allclose(np.asarray(sim3.trans(d)), 0.0, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(sim3.scale(d)), 1.0, atol=1e-4)
+        assert np.all(np.abs(np.asarray(sim3.quat(d))[..., 3]) > 1.0 - 1e-4)
+
+
+def test_extreme_scale_roundtrip():
+    """Large |sigma| exercises the W-coefficient branches (exp(sigma)
+    dominating or vanishing against theta)."""
+    for sigma in (-6.0, -2.0, 2.0, 6.0):
+        xi = jnp.asarray(
+            np.array([[0.5, -1.0, 2.0, 0.3, -0.4, 0.2, sigma]], np.float32))
+        g = sim3.exp(xi)
+        xi2 = sim3.log(g)
+        np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi),
+                                   rtol=2e-3, atol=2e-3)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_zero_tangent_is_identity():
+    g = sim3.exp(jnp.zeros((4, 7), jnp.float32))
+    np.testing.assert_allclose(np.asarray(sim3.trans(g)), 0.0, atol=0)
+    np.testing.assert_allclose(np.asarray(sim3.scale(g)), 1.0, atol=0)
+    np.testing.assert_allclose(np.asarray(sim3.log(g)), 0.0, atol=0)
