@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--chol-panel", type=int, default=None,
                     help="blocked-cholesky panel override; a value >= the "
                          "window dim falls back to XLA's monolithic cholesky")
+    ap.add_argument("--ab", action="store_true",
+                    help="paired A/B: alternate the configured solver (arm "
+                         "B) with the default monolithic solve (arm A) in "
+                         "ONE process, so relay drift hits both arms "
+                         "equally (see CLAUDE.md measurement gotchas)")
+    ap.add_argument("--ab-reps", type=int, default=3,
+                    help="paired repetitions per arm in --ab mode")
     args = ap.parse_args()
     cfg_kw = {}
     if args.factor_precision is not None:
@@ -93,24 +100,50 @@ def main():
     opt = np.zeros(n, bool)
     opt[1:real] = True
 
-    t0 = time.time()
-    out, info = optimize_pose_graph(
-        jnp.asarray(nodes), jnp.asarray(edges_buf), jnp.asarray(meas_buf),
-        jnp.asarray(confs), jnp.asarray(valid), jnp.asarray(opt),
-        PGOConfig(**cfg_kw))
-    jax.block_until_ready(out)
-    print(f"compile+first solve: {time.time() - t0:.1f}s  "
+    buffers = (jnp.asarray(nodes), jnp.asarray(edges_buf),
+               jnp.asarray(meas_buf), jnp.asarray(confs), jnp.asarray(valid),
+               jnp.asarray(opt))
+
+    def solve(cfg):
+        t0 = time.time()
+        out, info = optimize_pose_graph(*buffers, cfg)
+        jax.block_until_ready(out)
+        return time.time() - t0, info
+
+    if args.ab:
+        # paired A/B: compile both arms first, then alternate measured
+        # solves A,B,A,B,... so slow relay drift cancels in the pairing
+        arm_a, arm_b = PGOConfig(), PGOConfig(**cfg_kw)
+        for name, cfg in (("A (monolithic default)", arm_a),
+                          (f"B ({cfg_kw})", arm_b)):
+            dt, info = solve(cfg)
+            print(f"arm {name}: compile+first solve {dt:.1f}s  "
+                  f"steps={int(info['steps'])} "
+                  f"loss {float(info['loss0']):.4g} -> "
+                  f"{float(info['loss']):.4g}", flush=True)
+        times = {"A": [], "B": []}
+        for _ in range(args.ab_reps):
+            for name, cfg in (("A", arm_a), ("B", arm_b)):
+                dt, _ = solve(cfg)
+                times[name].append(dt)
+        ms = {k: np.asarray(v) * 1e3 for k, v in times.items()}
+        for k in ("A", "B"):
+            print(f"arm {k}: {ms[k].mean():.0f} ms mean "
+                  f"(min {ms[k].min():.0f}, reps {args.ab_reps})")
+        print(f"paired delta B-A: {(ms['B'] - ms['A']).mean():+.0f} ms "
+              f"({(ms['B'].mean() / ms['A'].mean() - 1) * 100:+.1f}%)  "
+              f"({n} nodes / {e} edges padded, {real} real)")
+        return
+
+    dt, info = solve(PGOConfig(**cfg_kw))
+    print(f"compile+first solve: {dt:.1f}s  "
           f"steps={int(info['steps'])} loss {float(info['loss0']):.4g} -> "
           f"{float(info['loss']):.4g}")
 
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        out, info = optimize_pose_graph(
-            jnp.asarray(nodes), jnp.asarray(edges_buf), jnp.asarray(meas_buf),
-            jnp.asarray(confs), jnp.asarray(valid), jnp.asarray(opt),
-            PGOConfig(**cfg_kw))
-        jax.block_until_ready(out)
+        dt, info = solve(PGOConfig(**cfg_kw))
     print(f"steady-state solve: {(time.time() - t0) / reps * 1e3:.0f} ms "
           f"({n} nodes / {e} edges padded, {real} real)")
 
