@@ -104,15 +104,47 @@ def main():
                jnp.asarray(meas_buf), jnp.asarray(confs), jnp.asarray(valid),
                jnp.asarray(opt))
 
+    # Physical lower bound per LM step for the dense solver: the Cholesky
+    # factorization alone is (7*k_pad)^3/3 FLOPs, and nothing on a v5e runs
+    # fp32 factorizations above the chip's bf16 matmul peak. Through the
+    # axon relay `block_until_ready` can return before the work finishes
+    # (BASELINE.md caveat; bench.py carries the same guard) — a timed solve
+    # below this bound is an async illusion, not a fast solve.
+    V5E_PEAK_FLOPS = 197e12
+    n_opt = int(opt.sum())
+    k_pad = min(max(32, 1 << max(n_opt - 1, 0).bit_length()), n)
+    # the bound only holds for the dense solver (auto resolves to pcg past
+    # dense_max, where the cost is matvec- not factorization-shaped)
+    chol_flops = ((7 * k_pad) ** 3 / 3.0
+                  if n_opt <= PGOConfig().dense_max else 0.0)
+
     def solve(cfg):
         t0 = time.time()
         out, info = optimize_pose_graph(*buffers, cfg)
         jax.block_until_ready(out)
-        return time.time() - t0, info
+        dt = time.time() - t0
+        min_dt = int(info["steps"]) * chol_flops / V5E_PEAK_FLOPS
+        if dt < min_dt:
+            print(f"WARNING: blocked timing {dt * 1e3:.0f} ms is below the "
+                  f"physical bound {min_dt * 1e3:.0f} ms for "
+                  f"{int(info['steps'])} LM steps (relay async illusion) — "
+                  f"re-timing with a forced host fetch", flush=True)
+            t0 = time.time()
+            out, info = optimize_pose_graph(*buffers, cfg)
+            np.asarray(out)  # conservative: includes one device->host RTT
+            dt = time.time() - t0
+        return dt, info
 
     if args.ab:
+        if not cfg_kw:
+            ap.error("--ab needs at least one of --factor-precision/"
+                     "--factor-refine/--chol-panel; with none, arm B is "
+                     "identical to arm A and the paired delta is pure noise")
         # paired A/B: compile both arms first, then alternate measured
-        # solves A,B,A,B,... so slow relay drift cancels in the pairing
+        # solves in an ABBA schedule (arm order reversed on alternate reps)
+        # so LINEAR relay drift cancels exactly within each ABBA quad —
+        # a fixed A,B order would measure B systematically half a
+        # pair-period later than A.
         arm_a, arm_b = PGOConfig(), PGOConfig(**cfg_kw)
         for name, cfg in (("A (monolithic default)", arm_a),
                           (f"B ({cfg_kw})", arm_b)):
@@ -122,8 +154,11 @@ def main():
                   f"loss {float(info['loss0']):.4g} -> "
                   f"{float(info['loss']):.4g}", flush=True)
         times = {"A": [], "B": []}
-        for _ in range(args.ab_reps):
-            for name, cfg in (("A", arm_a), ("B", arm_b)):
+        for rep in range(args.ab_reps):
+            order = (("A", arm_a), ("B", arm_b))
+            if rep % 2:
+                order = order[::-1]
+            for name, cfg in order:
                 dt, _ = solve(cfg)
                 times[name].append(dt)
         ms = {k: np.asarray(v) * 1e3 for k, v in times.items()}

@@ -3,10 +3,14 @@ Cholesky factorization — the reference's solver shape (reference:
 vista_slam/slam.py:43,123-137, pypose LM + ppos.Cholesky) — sharing the
 production solver's residuals, Jacobians, weighting and retraction
 (vista_slam_tpu/slam/pgo.py). The only difference is the linear solve:
-exact dense fp64 here vs matrix-free block-Jacobi PCG in production.
+exact dense fp64 over the FULL node set here vs the production paths — a
+windowed fp32 equilibrated dense Cholesky by default (the round-3 flip;
+see PGOConfig.solver), with matrix-free block-Jacobi PCG as the
+large-window fallback.
 
 Used by test_pgo.py to cross-check that the production solver's optimum
-matches an exact solve — any future CG-truncation regression fails there.
+matches an exact solve — it is what caught the truncated-PCG stall that
+forced the dense default; any future regression on either path fails there.
 """
 
 from __future__ import annotations

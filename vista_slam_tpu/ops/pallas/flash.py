@@ -58,7 +58,7 @@ def _pad_to(x, n, axis):
 
 
 def _fwd_impl(q, k, v, scale, block_q):
-    """Returns (out [B,H,Nq,D], lse [B*H, nq_pad] fp32)."""
+    """Returns (out [B,H,Nq,D], lse [B*H, nq_pad, 1] fp32)."""
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
     bq = min(block_q, max(8, Nq))
