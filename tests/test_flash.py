@@ -61,6 +61,75 @@ def test_flash_grad_matches_xla(nq, nk):
                                    err_msg=f"d{name}")
 
 
+@pytest.mark.parametrize("n", [1537, 3073])
+def test_flash_envelope_beyond_769_tokens(n):
+    """Round-3 verdict: hardware + CI evidence stopped at 769 tokens while
+    the single-pass design claims 'a few thousand'. Pin forward AND grad
+    parity at 1537 and 3073 tokens (512x768/16 and 768x1024/16 + pose
+    token) in interpret mode; the >769-token on-device point lives in
+    BASELINE.md."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vista_slam_tpu.ops.pallas import flash
+
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    B, H, D = 1, 1, 64
+    q = jax.random.normal(kq, (B, H, n, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, n, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, n, D), jnp.float32)
+    scale = D ** -0.5
+    w = jnp.cos(jnp.arange(D, dtype=jnp.float32))
+
+    want = mha_xla(q, k, v, scale)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash.flash_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def f_ref(q):
+        return (mha_xla(q, k, v, scale) * w).sum()
+
+    def f_flash(q):
+        return (flash.flash_attention(q, k, v, scale) * w).sum()
+
+    want_g = jax.grad(f_ref)(q)
+    with pltpu.force_tpu_interpret_mode():
+        got_g = jax.grad(f_flash)(q)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               atol=5e-4)
+
+
+def test_flash_vmem_envelope_fails_loudly():
+    """Past the VMEM budget the kernel must refuse at trace time with an
+    actionable error, not die inside Mosaic (or silently spill). The
+    documented envelope at D=64/bf16/block 256: forward to ~39k tokens,
+    training (backward) to ~21k."""
+    from vista_slam_tpu.ops.pallas import flash
+
+    D = 64
+    ok, too_big = 20_000, 24_000
+
+    def shapes(n):
+        x = jax.ShapeDtypeStruct((1, 1, n, D), jnp.bfloat16)
+        return x, x, x
+
+    # forward estimator: fine at 20k AND 24k, refuses at 48k
+    for n in (ok, too_big):
+        jax.eval_shape(lambda q, k, v: flash.flash_attention(q, k, v, 0.125),
+                       *shapes(n))
+    with pytest.raises(ValueError, match="VMEM"):
+        jax.eval_shape(lambda q, k, v: flash.flash_attention(q, k, v, 0.125),
+                       *shapes(48_000))
+
+    # backward estimator: fine at 20k, refuses at 24k
+    def loss(q, k, v):
+        return flash.flash_attention(q, k, v, 0.125).astype(jnp.float32).sum()
+
+    jax.eval_shape(jax.grad(loss), *shapes(ok))
+    with pytest.raises(ValueError, match="VMEM"):
+        jax.eval_shape(jax.grad(loss), *shapes(too_big))
+
+
 def test_mha_auto_dispatch_is_differentiable():
     """Regression for the round-2 hole: at >=512 tokens ``mha`` auto-selects
     the flash kernel (ops/attention.py) and jax.grad through it must work."""

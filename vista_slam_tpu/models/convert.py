@@ -129,11 +129,26 @@ def _pose_head(sd):
     }
 
 
-def convert_state_dict(sd: Mapping[str, np.ndarray], enc_depth: int = 24,
-                       dec_depth: int = 12) -> dict:
+def _infer_depth(sd: Mapping[str, np.ndarray], prefix: str) -> int:
+    pat = re.compile(rf"^{re.escape(prefix)}\.(\d+)\.")
+    idxs = {int(m.group(1)) for k in sd if (m := pat.match(k))}
+    if not idxs:
+        raise KeyError(f"no '{prefix}.<i>.*' keys in the state dict — not a "
+                       "reference-layout STA checkpoint?")
+    return max(idxs) + 1
+
+
+def convert_state_dict(sd: Mapping[str, np.ndarray],
+                       enc_depth: int | None = None,
+                       dec_depth: int | None = None) -> dict:
     """Torch state dict (numpy values) -> flax params pytree
-    {'params': {...}} for models.sta.STA."""
+    {'params': {...}} for models.sta.STA. Depths default to what the state
+    dict itself contains (24/12 for the released full-size checkpoint)."""
     sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    if enc_depth is None:
+        enc_depth = _infer_depth(sd, "enc_blocks")
+    if dec_depth is None:
+        dec_depth = _infer_depth(sd, "dec_block")
     params = {
         "patch_embed": _conv(sd, "patch_embed.proj"),
         "decoder_embed": _linear(sd, "decoder_embed"),
@@ -194,7 +209,8 @@ def load_params_npz(path: str) -> dict:
 
 
 def convert_checkpoint_file(src_pth: str, dst_npz: str,
-                            enc_depth: int = 24, dec_depth: int = 12):
+                            enc_depth: int | None = None,
+                            dec_depth: int | None = None):
     sd = load_torch_checkpoint(src_pth)
     params = convert_state_dict(sd, enc_depth, dec_depth)
     np.savez(dst_npz, **flatten_params(params))

@@ -31,6 +31,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 256
 
+# The single-pass design keeps the full key/value set of one (batch, head)
+# resident in VMEM, so sequence length is bounded by the per-core VMEM
+# capacity (128 MiB on v5e), not by HBM. The dominant per-grid-step
+# residents are the fp32 score tiles ([block, N] several times over) plus
+# the K/V (forward, dq) or Q/dO (dk/dv) panels; _check_vmem estimates them
+# against a conservative budget and REFUSES to trace past it — a clear
+# Python error at jit time instead of a Mosaic allocation failure (or a
+# silent spill) at compile time. At D=64/bf16/block 256 the bound works out
+# to ~20k tokens — far beyond any STA resolution (1024x1024/16 is 4097
+# tokens); tests/test_flash.py pins parity at 1537 and 3073 tokens and the
+# boundary behavior of this check.
+VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+
+
+def _check_vmem(bq: int, nq_pad: int, nk_pad: int, D: int, itemsize: int,
+                kind: str) -> None:
+    fp32 = 4
+    if kind == "fwd":
+        # k+v panels (double-buffered) + q/o blocks + fp32 s and p tiles
+        need = (2 * nk_pad * D * itemsize * 2
+                + 2 * bq * D * itemsize * 2
+                + 2 * bq * nk_pad * fp32)
+    elif kind == "bwd_dq":
+        # k+v panels + q/do/lse/delta/dq blocks + s, p, dp, ds tiles
+        need = (2 * nk_pad * D * itemsize * 2
+                + 3 * bq * D * itemsize * 2
+                + 4 * bq * nk_pad * fp32)
+    else:  # bwd_dkv
+        # q+do panels + k/v/dk/dv blocks + st, pt, dpt, dst tiles
+        need = (2 * nq_pad * D * itemsize * 2
+                + 4 * bq * D * itemsize * 2
+                + 4 * bq * nq_pad * fp32)
+    if need > VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"flash_attention {kind}: estimated VMEM use "
+            f"{need / 2**20:.0f} MiB exceeds the {VMEM_BUDGET_BYTES / 2**20:.0f}"
+            f" MiB budget (block_q={bq}, N_q={nq_pad}, N_kv={nk_pad}, D={D})."
+            f" The single-pass kernel keeps full K/V per (batch, head) in"
+            f" VMEM; reduce block_q, lower the input resolution, or add a"
+            f" k-tiled online-softmax variant for this regime.")
+
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, n_kv: int):
     q = q_ref[0]  # [bq, D]
@@ -64,6 +105,7 @@ def _fwd_impl(q, k, v, scale, block_q):
     bq = min(block_q, max(8, Nq))
     nq_pad = pl.cdiv(Nq, bq) * bq
     nk_pad = pl.cdiv(Nk, 128) * 128
+    _check_vmem(bq, nq_pad, nk_pad, D, q.dtype.itemsize, "fwd")
 
     qf = _pad_to(q.reshape(B * H, Nq, D), nq_pad, 1)
     kf = _pad_to(k.reshape(B * H, Nk, D), nk_pad, 1)
@@ -168,6 +210,8 @@ def _flash_bwd(scale, block_q, res, do):
     # (nk_pad is a multiple of 128 but not necessarily of bk; a floor-divided
     # grid would leave the tail rows of dk/dv unwritten)
     nk_pad = pl.cdiv(nk_pad, bk) * bk
+    _check_vmem(bq, nq_pad, nk_pad, D, q.dtype.itemsize, "bwd_dq")
+    _check_vmem(bk, nq_pad, nk_pad, D, q.dtype.itemsize, "bwd_dkv")
 
     qf = _pad_to(q.reshape(B * H, Nq, D), nq_pad, 1)
     kf = _pad_to(k.reshape(B * H, Nk, D), nk_pad, 1)

@@ -115,8 +115,40 @@ def main(n_devices: int) -> None:
         state, loss, details = jit_step(state, batch)
         loss = float(loss)
         assert np.isfinite(loss), f"non-finite training loss {loss}"
+
+    # Second contract: the multi-chip INFERENCE path. FrontendEngine(mesh=...)
+    # runs the SLAM hot loop dp-sharded over pair batches with params in the
+    # tp layout (slam/frontend.py); it must compile, execute, and reproduce
+    # the single-device decode. (The reference is strictly single-GPU at
+    # inference, vista_slam/slam.py:28 — this contract is TPU-only capability.)
+    from vista_slam_tpu.models.sta import init_params
+    from vista_slam_tpu.slam.frontend import FrontendEngine
+
+    _, inf_params = init_params(cfg, seed=0)
+    imgs = rng.uniform(-1, 1, (4, H, W, 3)).astype(np.float32)
+
+    def decode_all(mesh_arg):
+        engine = FrontendEngine(cfg, inf_params, mesh=mesh_arg)
+        feats = engine.encode_batch(imgs)
+        out = engine.decode_pairs(feats[:-1], feats[1:])  # 3 pairs -> bucket 4
+        return {k: np.asarray(out[k]) for k in
+                ("pose_ij", "pose_conf_ij", "K", "mean_conf_i")}
+
+    single = decode_all(None)
+    sharded = decode_all(mesh)
+    max_delta = 0.0
+    for k in single:
+        d = float(np.max(np.abs(sharded[k] - single[k])))
+        max_delta = max(max_delta, d)
+        # tp psum reduction order perturbs the pose head's SVD at ~1e-4
+        # (same tolerance as tests/test_multichip.py)
+        np.testing.assert_allclose(sharded[k], single[k], atol=1e-3,
+                                   err_msg=f"sharded decode mismatch in {k}")
+
     print(f"dryrun_multichip OK on {n_devices} devices "
-          f"(mesh dp={mesh.shape['dp']} tp={mesh.shape['tp']}), loss={loss:.4f}")
+          f"(mesh dp={mesh.shape['dp']} tp={mesh.shape['tp']}): "
+          f"train step loss={loss:.4f}; dp-sharded inference decode matches "
+          f"single-device (max delta {max_delta:.2e})")
 
 
 if __name__ == "__main__":
