@@ -118,6 +118,13 @@ def main():
     chol_flops = ((7 * k_pad) ** 3 / 3.0
                   if n_opt <= PGOConfig().dense_max else 0.0)
 
+    def peak_hbm_gb():
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            return stats.get("peak_bytes_in_use", 0) / 2**30
+        except Exception:
+            return float("nan")
+
     def solve(cfg):
         t0 = time.time()
         out, info = optimize_pose_graph(*buffers, cfg)
@@ -152,7 +159,8 @@ def main():
             print(f"arm {name}: compile+first solve {dt:.1f}s  "
                   f"steps={int(info['steps'])} "
                   f"loss {float(info['loss0']):.4g} -> "
-                  f"{float(info['loss']):.4g}", flush=True)
+                  f"{float(info['loss']):.4g}  "
+                  f"peak HBM {peak_hbm_gb():.2f} GB", flush=True)
         times = {"A": [], "B": []}
         for rep in range(args.ab_reps):
             order = (("A", arm_a), ("B", arm_b))

@@ -75,18 +75,21 @@ class PGOConfig(NamedTuple):
     # selects XLA's monolithic cholesky.
     #
     # DEFAULTS ship the monolithic fp32 factorization (chol_panel past any
-    # window dim, no refinement) — the shape hardware-verified at the
-    # production window (15.7 s/solve at 4790 nodes, BASELINE.md). The
-    # blocked mixed-precision path (`pgo: {chol_panel: 512, factor_refine:
-    # 2}` in the YAML) was measured ~11% faster end-to-end at a 2000-node
-    # window in its first formulation, with "high" (bf16_3x) + 2
-    # refinements landing on the IDENTICAL 20-step LM trajectory and
-    # "default" (single bf16 pass) NOT converging (refinement
-    # non-contractive; never ship bf16 factors here) — but its current
-    # memory-lean formulation has not yet been A/B'd on hardware (the dev
-    # relay died mid-measurement), so it stays opt-in. The rest of the
-    # solver runs at "highest" — the tiny 7-dim Jacobian/CG products are
-    # corrupted by TPU's bf16 default matmuls (see
+    # window dim, no refinement). The blocked mixed-precision path
+    # (`pgo: {chol_panel: 512, factor_refine: 2}` in the YAML) is A/B'd on
+    # v5e at BOTH window scales (paired ABBA, scripts/profile_pgo.py --ab;
+    # BASELINE.md "Windowed PGO" row): 13% faster at the 2000-node window
+    # (1889 vs 2180 ms, identical 20-step LM trajectory) but only 3.5%
+    # faster at the 4790-node production window (12.34 vs 12.78 s/solve,
+    # same 20 steps, final loss 0.02325 vs 0.02329 — numerically
+    # equivalent, not bit-identical) at 2.4x the first-compile cost
+    # (171 vs 70 s). A 3.5% worst-case win does not buy the extra compile
+    # and the trajectory perturbation, so it stays OPT-IN for mid-size
+    # windows where its 13% holds. "high" (bf16_3x) + >=1 refinement is
+    # required for convergence; "default" single-pass bf16 factors are
+    # non-contractive under refinement and are never offered. The rest of
+    # the solver runs at "highest" — the tiny 7-dim Jacobian/CG products
+    # are corrupted by TPU's bf16 default matmuls (see
     # _optimize_pose_graph_jit).
     factor_precision: str = "high"
     factor_refine: int = 0
