@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--attn-bf16-grad", action="store_true",
                     help="store attention probabilities in bf16 for the "
                          "backward pass (cfg.attn_bf16_grad)")
+    ap.add_argument("--attn-fused-train", action="store_true",
+                    help="fused short-sequence Pallas attention, fwd + "
+                         "one-kernel bwd (cfg.attn_fused_train)")
     ap.add_argument("--trace-dir", default=None,
                     help="also capture a jax.profiler trace of one timed "
                          "scan program here (op-level attribution of the "
@@ -61,7 +64,8 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     cfg = STAConfig(compute_dtype=jnp.bfloat16, remat=args.remat,
                     img_size=tuple(args.img_size),
-                    attn_bf16_grad=args.attn_bf16_grad)
+                    attn_bf16_grad=args.attn_bf16_grad,
+                    attn_fused_train=args.attn_fused_train)
     t0 = time.time()
     model, params = init_params_host(cfg, seed=0)
     params = jax.device_put(params)
@@ -114,6 +118,15 @@ def main():
     compiled = jmulti.lower(params, opt_state, batch).compile()
     print(f"compile ({K}-step scan program): {time.time() - t0:.1f}s",
           flush=True)
+    try:
+        ma = compiled.memory_analysis()
+        peak = (ma.argument_size_in_bytes + ma.temp_size_in_bytes)
+        print(f"compiler memory analysis: args "
+              f"{ma.argument_size_in_bytes / 1e9:.2f} GB (donated), temp "
+              f"{ma.temp_size_in_bytes / 1e9:.2f} GB -> "
+              f"~{peak / 1e9:.2f} GB static peak", flush=True)
+    except Exception as e:
+        print(f"memory analysis unavailable: {e}")
     flops = None
     try:
         cost = compiled.cost_analysis()
@@ -146,6 +159,14 @@ def main():
         print(f"{flops / 1e12:.2f} TFLOP/step (XLA cost analysis) -> "
               f"{flops / dt / 1e12:.1f} TFLOP/s = {mfu * 100:.1f}% MFU "
               f"of v5e bf16 peak")
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            print(f"device peak_bytes_in_use: "
+                  f"{stats['peak_bytes_in_use'] / 1e9:.2f} GB "
+                  f"(live measured, whole process)", flush=True)
+    except Exception:
+        pass
 
     if args.trace_dir:
         print(f"capturing jax.profiler trace to {args.trace_dir} ...",

@@ -54,6 +54,10 @@ class STAConfig:
     # store attention probabilities in bf16 for the backward pass
     # (ops/attention.mha_xla_bf16res); forward numerics are identical
     attn_bf16_grad: bool = False
+    # fused short-sequence Pallas attention (fwd + one-kernel bwd, no HBM
+    # probability residuals — ops/pallas/attn_train.py); built for the
+    # training step at 197 tokens, measured in BASELINE.md
+    attn_fused_train: bool = False
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -95,6 +99,7 @@ class SelfAttention(nn.Module):
     dtype: Any
     use_flash: bool | None
     bf16_grad: bool = False
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x, rope):
@@ -107,7 +112,7 @@ class SelfAttention(nn.Module):
             cos, sin = rope
             q = apply_rope2d(q, cos, sin)
             k = apply_rope2d(k, cos, sin)
-        out = mha(q, k, v, hd ** -0.5, self.use_flash, bf16_grad=self.bf16_grad)
+        out = mha(q, k, v, hd ** -0.5, self.use_flash, bf16_grad=self.bf16_grad, fused_train=self.fused_train)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -118,6 +123,7 @@ class CrossAttention(nn.Module):
     dtype: Any
     use_flash: bool | None
     bf16_grad: bool = False
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x, y, rope_q, rope_k):
@@ -130,7 +136,7 @@ class CrossAttention(nn.Module):
         if rope_q is not None:
             q = apply_rope2d(q, *rope_q)
             k = apply_rope2d(k, *rope_k)
-        out = mha(q, k, v, hd ** -0.5, self.use_flash, bf16_grad=self.bf16_grad)
+        out = mha(q, k, v, hd ** -0.5, self.use_flash, bf16_grad=self.bf16_grad, fused_train=self.fused_train)
         out = out.transpose(0, 2, 1, 3).reshape(B, Nq, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -142,11 +148,12 @@ class EncoderBlock(nn.Module):
     dtype: Any
     use_flash: bool | None
     bf16_grad: bool = False
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x, rope):
         h = _ln("norm1")(x).astype(self.dtype)
-        x = x + SelfAttention(self.dim, self.heads, self.dtype, self.use_flash, self.bf16_grad, name="attn")(h, rope)
+        x = x + SelfAttention(self.dim, self.heads, self.dtype, self.use_flash, self.bf16_grad, self.fused_train, name="attn")(h, rope)
         h = _ln("norm2")(x).astype(self.dtype)
         x = x + Mlp(self.dim, self.dim * self.mlp_ratio, self.dtype, name="mlp")(h)
         return x
@@ -161,16 +168,17 @@ class DecoderBlock(nn.Module):
     dtype: Any
     use_flash: bool | None
     bf16_grad: bool = False
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x, y, rope, rope_y=None):
         if rope_y is None:
             rope_y = rope
         h = _ln("norm1")(x).astype(self.dtype)
-        x = x + SelfAttention(self.dim, self.heads, self.dtype, self.use_flash, self.bf16_grad, name="attn")(h, rope)
+        x = x + SelfAttention(self.dim, self.heads, self.dtype, self.use_flash, self.bf16_grad, self.fused_train, name="attn")(h, rope)
         y_ = _ln("norm_y")(y).astype(self.dtype)
         h = _ln("norm2")(x).astype(self.dtype)
-        x = x + CrossAttention(self.dim, self.heads, self.dtype, self.use_flash, self.bf16_grad, name="cross_attn")(
+        x = x + CrossAttention(self.dim, self.heads, self.dtype, self.use_flash, self.bf16_grad, self.fused_train, name="cross_attn")(
             h, y_, rope, rope_y)
         h = _ln("norm3")(x).astype(self.dtype)
         x = x + Mlp(self.dim, self.dim * self.mlp_ratio, self.dtype, name="mlp")(h)
@@ -200,14 +208,14 @@ class STA(nn.Module):
                                   dtype=c.compute_dtype, name="patch_embed")
         self.enc_blocks = [
             Enc(c.enc_dim, c.enc_heads, c.mlp_ratio, c.compute_dtype,
-                c.use_flash, c.attn_bf16_grad, name=f"enc_block{i}")
+                c.use_flash, c.attn_bf16_grad, c.attn_fused_train, name=f"enc_block{i}")
             for i in range(c.enc_depth)
         ]
         self.enc_norm = _ln("enc_norm")
         self.decoder_embed = nn.Dense(c.dec_dim, dtype=c.compute_dtype, name="decoder_embed")
         self.dec_blocks = [
             Dec(c.dec_dim, c.dec_heads, c.mlp_ratio, c.compute_dtype,
-                c.use_flash, c.attn_bf16_grad, name=f"dec_block{i}")
+                c.use_flash, c.attn_bf16_grad, c.attn_fused_train, name=f"dec_block{i}")
             for i in range(c.dec_depth)
         ]
         self.dec_norm = _ln("dec_norm")

@@ -87,17 +87,20 @@ mha_xla_bf16res.defvjp(_bf16res_fwd, _bf16res_bwd)
 
 
 def mha(q, k, v, scale, use_flash: bool | None = None,
-        bf16_grad: bool = False):
-    """Dispatch between the XLA path and the Pallas flash kernel.
+        bf16_grad: bool = False, fused_train: bool = False):
+    """Dispatch between the XLA path and the Pallas kernels.
 
     ``use_flash=None`` picks flash automatically once the sequence is long
     enough for tiling to pay off. ``bf16_grad`` selects the bf16-residual
-    backward (`mha_xla_bf16res`) on the einsum path; the flash kernel
-    manages its own residuals. Measured on v5e (full decode+heads,
-    BASELINE.md "flash vs einsum"): at 197 tokens (224x224/16) einsum wins
-    (9.3 vs 11.5 ms/iter); at 769 tokens (384x512/16) flash wins 1.76x
-    (13.7 vs 24.0 ms/iter) — so the crossover sits between those and the
-    threshold is set at 512.
+    backward (`mha_xla_bf16res`) on the einsum path; the Pallas kernels
+    manage their own residuals. ``fused_train`` selects the short-sequence
+    fused fwd+bwd Pallas kernel (ops/pallas/attn_train.py) below the flash
+    threshold — built for the TRAINING step, where it removes the fp32
+    [B,H,N,N] probability residuals autodiff of the einsum path saves.
+    Measured on v5e (full decode+heads, BASELINE.md "flash vs einsum"): at
+    197 tokens (224x224/16) einsum wins the forward (9.3 vs 11.5 ms/iter);
+    at 769 tokens (384x512/16) flash wins 1.76x and at 1025 tokens 1.94x —
+    the crossover sits between, threshold 512.
     """
     n = q.shape[-2]
     if use_flash is None:
@@ -105,6 +108,10 @@ def mha(q, k, v, scale, use_flash: bool | None = None,
     if use_flash:
         from .pallas.flash import flash_attention
         return flash_attention(q, k, v, scale)
+    if fused_train and n == k.shape[-2]:
+        from .pallas.attn_train import MAX_FUSED_TOKENS, fused_attention
+        if n <= MAX_FUSED_TOKENS:
+            return fused_attention(q, k, v, float(scale))
     if bf16_grad:
         return mha_xla_bf16res(q, k, v, float(scale))
     return mha_xla(q, k, v, scale)
