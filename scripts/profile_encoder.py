@@ -33,25 +33,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402  (repo root on path)
 
 
-def _classify(name: str) -> str:
-    """Bucket an XLA op/fusion name into a coarse attribution category."""
+def _classify(name: str, args: dict) -> str:
+    """Bucket a device op into an attribution category.
+
+    Prefers the profiler's own `hlo_category` arg (present on XLA:TPU op
+    events — "convolution fusion", "custom fusion", "copy", ...) over
+    name-pattern guessing; name patterns are the fallback for events
+    without args."""
+    cat = args.get("hlo_category")
+    if cat:
+        return cat
     n = name.lower()
     if "conv" in n:
-        return "conv (patch embed)"
-    if "dot" in n or "matmul" in n:
-        return "matmul (attn/mlp)"
-    if n.startswith("copy") or ".copy" in n or "copy-start" in n \
-            or "copy-done" in n:
-        return "copy/layout"
+        return "convolution fusion"
+    if n.startswith("copy") or ".copy" in n or "copy" in n:
+        return "copy"
     if "transpose" in n:
         return "transpose"
-    if "reduce" in n or "norm" in n:
-        return "reduce/norm"
+    if "reduce" in n:
+        return "reduce"
     if "fusion" in n:
-        return "fusion (elementwise+)"
-    if "all-reduce" in n or "all-gather" in n:
-        return "collective"
+        return "fusion"
     return "other"
+
+
+def _source_frame(args: dict) -> str:
+    """First repo-owned frame of the op's source stack (falls back to the
+    single `source` arg, then '?') — attributes time to model/loss modules
+    instead of opaque fusion numbers."""
+    stack = args.get("source_stack", "") or args.get("source", "")
+    for line in str(stack).splitlines():
+        if "/vista_slam_tpu/" in line or "/root/repo/" in line:
+            frag = line.strip().rsplit("/", 1)[-1]
+            return frag.split(":")[0] + ":" + frag.split(":")[1] \
+                if ":" in frag else frag
+    first = str(stack).splitlines()[0].strip() if str(stack).strip() else "?"
+    return first.rsplit("/", 1)[-1].rsplit(":", 1)[0] if first != "?" else "?"
 
 
 def attribute_trace(trace_dir: str, top_k: int = 20):
@@ -88,7 +105,7 @@ def attribute_trace(trace_dir: str, top_k: int = 20):
         print("no TPU device track found in trace (host-only capture?)")
         return
 
-    per_op = defaultdict(float)
+    per_op = defaultdict(lambda: [0.0, 0.0, None])  # dur us, flops, args
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
@@ -99,25 +116,117 @@ def attribute_trace(trace_dir: str, top_k: int = 20):
         # the track — counting both would double the loop body
         if name.split(".")[0] in ("while", "conditional", "call"):
             continue
-        per_op[name] += e.get("dur", 0.0)  # us
+        rec = per_op[name]
+        rec[0] += e.get("dur", 0.0)  # us
+        args = e.get("args", {}) or {}
+        try:
+            rec[1] += float(args.get("model_flops", 0) or 0)
+        except (TypeError, ValueError):
+            pass
+        if rec[2] is None and args:
+            rec[2] = args
 
-    total = sum(per_op.values())
+    total = sum(r[0] for r in per_op.values())
     if not total:
         print("device track is empty")
         return
     print(f"device busy time in capture: {total / 1e3:.2f} ms "
           f"across {len(per_op)} distinct ops")
 
-    per_cat = defaultdict(float)
-    for name, dur in per_op.items():
-        per_cat[_classify(name)] += dur
-    print("\ncategory attribution (of device busy time):")
-    for cat, dur in sorted(per_cat.items(), key=lambda kv: -kv[1]):
-        print(f"  {dur / total * 100:5.1f}%  {dur / 1e3:8.2f} ms  {cat}")
+    def rate(flops, dur_us):
+        return f"{flops / (dur_us * 1e6):7.1f} TF/s" if flops else "          -"
+
+    per_cat = defaultdict(lambda: [0.0, 0.0])
+    per_src = defaultdict(lambda: [0.0, 0.0])
+    for name, (dur, flops, args) in per_op.items():
+        a = args or {}
+        c = per_cat[_classify(name, a)]
+        c[0] += dur
+        c[1] += flops
+        s = per_src[_source_frame(a)]
+        s[0] += dur
+        s[1] += flops
+    print("\nby HLO category (of device busy time; TF/s = achieved rate of "
+          "the ops carrying model_flops):")
+    for cat, (dur, flops) in sorted(per_cat.items(), key=lambda kv: -kv[1][0]):
+        print(f"  {dur / total * 100:5.1f}%  {dur / 1e3:8.2f} ms "
+              f"{rate(flops, dur)}  {cat}")
+
+    print("\nby source line (first repo frame of the op's source stack):")
+    for src, (dur, flops) in sorted(per_src.items(),
+                                    key=lambda kv: -kv[1][0])[:top_k]:
+        print(f"  {dur / total * 100:5.1f}%  {dur / 1e3:8.2f} ms "
+              f"{rate(flops, dur)}  {src}")
 
     print(f"\ntop {top_k} ops:")
-    for name, dur in sorted(per_op.items(), key=lambda kv: -kv[1])[:top_k]:
-        print(f"  {dur / total * 100:5.1f}%  {dur / 1e3:8.2f} ms  {name[:110]}")
+    for name, (dur, flops, args) in sorted(per_op.items(),
+                                           key=lambda kv: -kv[1][0])[:top_k]:
+        src = _source_frame(args or {})
+        print(f"  {dur / total * 100:5.1f}%  {dur / 1e3:8.2f} ms "
+              f"{rate(flops, dur)}  {name[:60]}  [{src}]")
+
+
+def ab_patchify(batch, reps, iters=200):
+    """Micro ABBA A/B: the patch embedding as a stride-16 conv (the
+    reference formulation; ~9 TF/s on the MXU — BASELINE.md encoder
+    roofline) vs PatchifyEmbed's space-to-depth matmul (the shipped
+    formulation), identical kernel parameters."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from vista_slam_tpu.models.sta import PatchifyEmbed, STAConfig
+
+    cfg = STAConfig()
+    p, d = cfg.patch_size, cfg.enc_dim
+    conv = nn.Conv(d, (p, p), strides=(p, p), dtype=jnp.bfloat16,
+                   name="patch_embed")
+    pe = PatchifyEmbed(d, p, jnp.bfloat16, name="patch_embed")
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((batch,) + cfg.img_size + (3,)),
+                      jnp.float32)
+    params = conv.init(jax.random.PRNGKey(0), img)
+
+    def loop(mod):
+        def run(params, im):
+            def body(i, carry):
+                im_c, acc = carry
+                y = mod.apply(params, im_c)
+                return (im_c + (y.sum() * 1e-24).astype(im_c.dtype),
+                        acc + y.mean().astype(jnp.float32))
+
+            _, acc = jax.lax.fori_loop(0, iters, body,
+                                       (im, jnp.zeros((), jnp.float32)))
+            return acc
+
+        return jax.jit(run)
+
+    jconv, jpe = loop(conv), loop(pe)
+    gh, gw = cfg.grid
+    flops = 2 * batch * gh * gw * p * p * 3 * d  # one projection
+    min_dt = flops / bench.V5E_BF16_PEAK_FLOPS
+
+    def timed(fn):
+        return bench.device_loop_time(fn, (params, img), iters,
+                                      min_dt_per_iter=min_dt)
+
+    jconv(params, img).block_until_ready()
+    jpe(params, img).block_until_ready()
+    a_us, b_us, deltas = [], [], []
+    for rep in range(reps):
+        a1, b1, b2, a2 = timed(jconv), timed(jpe), timed(jpe), timed(jconv)
+        a, b = (a1 + a2) / 2 * 1e6, (b1 + b2) / 2 * 1e6
+        a_us.append(a)
+        b_us.append(b)
+        deltas.append(b - a)
+        print(f"  quad {rep}: conv {a:.1f} us/iter, matmul {b:.1f} us/iter, "
+              f"delta {b - a:+.1f} us", flush=True)
+    am, bm = np.mean(a_us), np.mean(b_us)
+    print(f"A/B patch embed (batch {batch}, {reps} ABBA quads): "
+          f"conv {am:.1f} us/iter ({flops / (am / 1e6) / 1e12:.1f} TF/s) vs "
+          f"space-to-depth matmul {bm:.1f} us/iter "
+          f"({flops / (bm / 1e6) / 1e12:.1f} TF/s); "
+          f"paired delta {np.mean(deltas):+.1f} us/iter")
 
 
 def main():
@@ -137,13 +246,30 @@ def main():
     ap.add_argument("--attribute-only", default=None, metavar="DIR",
                     help="skip measurement; just re-attribute an existing "
                          "trace directory")
+    ap.add_argument("--gelu-approx", action="store_true",
+                    help="tanh-approximate GELU in the MLPs "
+                         "(cfg.gelu_approx) instead of the exact erf")
+    ap.add_argument("--ab-gelu", action="store_true",
+                    help="paired ABBA A/B of exact-erf vs tanh-approx GELU "
+                         "(same params, two compiled loops, alternating arm "
+                         "order so linear relay drift cancels)")
+    ap.add_argument("--reps", type=int, default=2,
+                    help="ABBA quads for --ab-gelu")
+    ap.add_argument("--ab-patchify", action="store_true",
+                    help="micro ABBA A/B of the patch-embed formulations: "
+                         "stride-16 nn.Conv vs PatchifyEmbed's "
+                         "space-to-depth matmul (same kernel params)")
     args = ap.parse_args()
     if args.attribute_only:
         attribute_trace(args.attribute_only)
         return
+    if args.ab_patchify:
+        ab_patchify(args.batch, args.reps)
+        return
 
     print(f"devices: {jax.devices()}", flush=True)
-    cfg = STAConfig(compute_dtype=jnp.bfloat16)
+    cfg = STAConfig(compute_dtype=jnp.bfloat16,
+                    gelu_approx=args.gelu_approx)
     model, params = init_params_host(cfg)
     params = jax.device_put(params)
     rng = np.random.default_rng(0)
@@ -177,6 +303,65 @@ def main():
         return acc
 
     jenc = jax.jit(enc_loop)
+
+    if args.ab_gelu:
+        # Arm B: same params, tanh-approx GELU. The knob changes no
+        # parameters, so both arms apply the identical pytree.
+        cfg_b = STAConfig(compute_dtype=jnp.bfloat16, gelu_approx=True)
+        model_b = STA(cfg_b)
+
+        def enc_loop_b(params, im):
+            def body(i, carry):
+                im_c, acc = carry
+                f = model_b.apply(params, im_c, method=STA.encode)
+                return (im_c + (f.sum() * 1e-24).astype(im_c.dtype),
+                        acc + f.mean())
+
+            _, acc = jax.lax.fori_loop(0, iters, body,
+                                       (im, jnp.zeros((), jnp.float32)))
+            return acc
+
+        jenc_b = jax.jit(enc_loop_b)
+        min_dt = iters * flops / bench.V5E_BF16_PEAK_FLOPS
+
+        def timed(fn):
+            out = fn(params, img)
+            out.block_until_ready()
+            t0 = time.time()
+            out = fn(params, img)
+            out.block_until_ready()
+            dt = time.time() - t0
+            if dt < min_dt:  # relay async illusion (BASELINE.md caveat)
+                np.asarray(fn(params, img))
+                t0 = time.time()
+                np.asarray(fn(params, img))
+                dt = time.time() - t0
+            return dt / iters
+
+        # warm both compiles before any timing
+        jenc(params, img).block_until_ready()
+        jenc_b(params, img).block_until_ready()
+        deltas, a_ms, b_ms = [], [], []
+        for rep in range(args.reps):
+            a1 = timed(jenc)
+            b1 = timed(jenc_b)
+            b2 = timed(jenc_b)
+            a2 = timed(jenc)
+            a = (a1 + a2) / 2
+            b = (b1 + b2) / 2
+            a_ms.append(a * 1e3)
+            b_ms.append(b * 1e3)
+            deltas.append((b - a) * 1e3)
+            print(f"  quad {rep}: exact {a * 1e3:.2f} ms/iter, "
+                  f"approx {b * 1e3:.2f} ms/iter, "
+                  f"delta {(b - a) * 1e3:+.2f} ms", flush=True)
+        am, bm = np.mean(a_ms), np.mean(b_ms)
+        print(f"A/B gelu (batch {B}, {args.reps} ABBA quads): "
+              f"exact-erf {am:.2f} ms/iter ({flops / (am / 1e3) / bench.V5E_BF16_PEAK_FLOPS * 100:.1f}% MFU) "
+              f"vs tanh-approx {bm:.2f} ms/iter ({flops / (bm / 1e3) / bench.V5E_BF16_PEAK_FLOPS * 100:.1f}% MFU); "
+              f"paired delta {np.mean(deltas):+.2f} ms/iter")
+        return
+
     dt = bench.device_loop_time(
         jenc, (params, img), iters,
         min_dt_per_iter=flops / bench.V5E_BF16_PEAK_FLOPS)

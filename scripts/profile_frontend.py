@@ -24,6 +24,55 @@ def timeit(fn, iters=10, warmup=2):
     return (time.time() - t0) / iters
 
 
+def ab_gelu_decode(cfg, params, batch, reps):
+    """Paired ABBA A/B of cfg.gelu_approx on the device-resident
+    decode+heads loop (bench.py's headline measurement). The knob changes
+    no parameters, so both arms apply the identical pytree."""
+    import dataclasses
+
+    import numpy as np
+
+    import bench
+
+    arms = {}
+    for label, approx in (("exact-erf", False), ("tanh-approx", True)):
+        c = dataclasses.replace(cfg, gelu_approx=approx)
+        print(f"compiling {label} decode loop ...", flush=True)
+        dt, flops, src = bench.measure_device_decode(c, params, batch,
+                                                     iters=30)
+        arms[label] = (c, flops)
+        print(f"  first timing {label}: {dt * 1e3:.2f} ms/iter ({src})",
+              flush=True)
+
+    def timed(label):
+        c, flops = arms[label]
+        dt, _, _ = bench.measure_device_decode(c, params, batch, iters=30)
+        return dt
+
+    a_ms, b_ms, deltas = [], [], []
+    for rep in range(reps):
+        a1 = timed("exact-erf")
+        b1 = timed("tanh-approx")
+        b2 = timed("tanh-approx")
+        a2 = timed("exact-erf")
+        a, b = (a1 + a2) / 2, (b1 + b2) / 2
+        a_ms.append(a * 1e3)
+        b_ms.append(b * 1e3)
+        deltas.append((b - a) * 1e3)
+        print(f"  quad {rep}: exact {a * 1e3:.2f} ms/iter, "
+              f"approx {b * 1e3:.2f} ms/iter, delta {(b - a) * 1e3:+.2f} ms",
+              flush=True)
+    am, bm = np.mean(a_ms), np.mean(b_ms)
+    fa, fb = arms["exact-erf"][1], arms["tanh-approx"][1]
+    peak = bench.V5E_BF16_PEAK_FLOPS
+    print(f"A/B gelu decode+heads (batch {batch}, {reps} ABBA quads): "
+          f"exact-erf {am:.2f} ms/iter ({fa / (am / 1e3) / peak * 100:.1f}% "
+          f"MFU, {batch / (am / 1e3):.1f} pairs/s) vs tanh-approx {bm:.2f} "
+          f"ms/iter ({fb / (bm / 1e3) / peak * 100:.1f}% MFU, "
+          f"{batch / (bm / 1e3):.1f} pairs/s); "
+          f"paired delta {np.mean(deltas):+.2f} ms/iter")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -37,12 +86,22 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--trace-dir", default=None,
                     help="also capture a jax.profiler trace here")
+    ap.add_argument("--ab-gelu", action="store_true",
+                    help="paired ABBA A/B of exact-erf vs tanh-approx GELU "
+                         "on the device-resident decode+heads loop (the "
+                         "decoder MLPs pay the same erf epilogue the "
+                         "encoder roofline found — BASELINE.md)")
+    ap.add_argument("--reps", type=int, default=3, help="ABBA quads")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")
     cfg = STAConfig(compute_dtype=jnp.bfloat16)
     model, params = init_params_host(cfg)
     params = jax.device_put(params)
+
+    if args.ab_gelu:
+        ab_gelu_decode(cfg, params, args.batch, args.reps)
+        return
 
     rng = np.random.default_rng(0)
     B = args.batch

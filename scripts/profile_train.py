@@ -54,10 +54,21 @@ def main():
     ap.add_argument("--attn-fused-train", action="store_true",
                     help="fused short-sequence Pallas attention, fwd + "
                          "one-kernel bwd (cfg.attn_fused_train)")
+    ap.add_argument("--gelu-approx", action="store_true",
+                    help="tanh-approximate GELU in the MLPs instead of the "
+                         "reference's exact erf (cfg.gelu_approx)")
+    ap.add_argument("--head-bf16", action="store_true",
+                    help="bf16 compute in the DPT head's conv pyramid "
+                         "(cfg.head_bf16; fp32 params and fp32 output)")
     ap.add_argument("--trace-dir", default=None,
                     help="also capture a jax.profiler trace of one timed "
                          "scan program here (op-level attribution of the "
                          "step time)")
+    ap.add_argument("--compile-only", action="store_true",
+                    help="stop after compile + compiler memory analysis "
+                         "(for peak-memory A/Bs of config knobs, e.g. "
+                         "attn_bf16_grad at batch >=16 without remat, "
+                         "without paying a timed run per arm)")
     args = ap.parse_args()
     B, S, K = args.batch, args.support, args.steps
 
@@ -65,7 +76,9 @@ def main():
     cfg = STAConfig(compute_dtype=jnp.bfloat16, remat=args.remat,
                     img_size=tuple(args.img_size),
                     attn_bf16_grad=args.attn_bf16_grad,
-                    attn_fused_train=args.attn_fused_train)
+                    attn_fused_train=args.attn_fused_train,
+                    gelu_approx=args.gelu_approx,
+                    head_bf16=args.head_bf16)
     t0 = time.time()
     model, params = init_params_host(cfg, seed=0)
     params = jax.device_put(params)
@@ -127,6 +140,8 @@ def main():
               f"~{peak / 1e9:.2f} GB static peak", flush=True)
     except Exception as e:
         print(f"memory analysis unavailable: {e}")
+    if args.compile_only:
+        return
     flops = None
     try:
         cost = compiled.cost_analysis()

@@ -17,7 +17,7 @@ disabling autocast around them (reference: vista_slam/slam.py:164,178).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -36,11 +36,12 @@ class StridedUpsample(nn.Module):
     """
     features: int
     k: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, _ = x.shape
-        y = nn.Dense(self.k * self.k * self.features, name="proj")(x)
+        y = nn.Dense(self.k * self.k * self.features, dtype=self.dtype, name="proj")(x)
         y = y.reshape(b, h, w, self.k, self.k, self.features)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * self.k, w * self.k, self.features)
         return y
@@ -49,30 +50,32 @@ class StridedUpsample(nn.Module):
 class ResidualConvUnit(nn.Module):
     """relu -> conv3x3 -> relu -> conv3x3, residual add."""
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         out = nn.relu(x)
-        out = nn.Conv(self.features, (3, 3), padding=1, name="conv1")(out)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv1")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3), padding=1, name="conv2")(out)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv2")(out)
         return out + x
 
 
 class FeatureFusionBlock(nn.Module):
     """DPT fusion: optional skip refinement, refinement, 2x upsample, 1x1 conv."""
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, skip=None):
-        rcu1 = ResidualConvUnit(self.features, name="res_conv_unit1")
-        rcu2 = ResidualConvUnit(self.features, name="res_conv_unit2")
+        rcu1 = ResidualConvUnit(self.features, self.dtype, name="res_conv_unit1")
+        rcu2 = ResidualConvUnit(self.features, self.dtype, name="res_conv_unit2")
         if skip is not None:
             x = x + rcu1(skip)
         x = rcu2(x)
         h, w = x.shape[1], x.shape[2]
         x = resize_bilinear(x, (2 * h, 2 * w), align_corners=True)
-        x = nn.Conv(self.features, (1, 1), name="out_conv")(x)
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(x)
         return x
 
 
@@ -87,6 +90,14 @@ class DPTHead(nn.Module):
     feature_dim: int = 256
     last_dim: int = 128  # create_dpt_head passes feature_dim//2 (dpt_head.py:104-105)
     out_channels: int = 4
+    # compute dtype for the conv pyramid. fp32 is the parity default (the
+    # reference disables autocast around its heads, slam.py:164,178 — and
+    # trains everything fp32); bf16 is the measured training-throughput
+    # knob (STAConfig.head_bf16, BASELINE.md): fp32 convs cannot use the
+    # MXU's bf16 rate, and the head's fwd+bwd conv FLOPs are a large slice
+    # of the train step. Params stay fp32 either way; the 4-channel output
+    # is always returned fp32 for postprocess/losses.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, hooks: Sequence[jnp.ndarray], img_hw: tuple[int, int]):
@@ -97,36 +108,37 @@ class DPTHead(nn.Module):
             b, n, c = t.shape
             return t.reshape(b, nh, nw, c)
 
-        maps = [tokens_to_map(t.astype(jnp.float32)) for t in hooks]
+        maps = [tokens_to_map(t.astype(self.dtype)) for t in hooks]
+        dt = self.dtype
 
         # per-level reassembly to multi-scale maps (act_postprocess)
-        l0 = nn.Conv(self.layer_dims[0], (1, 1), name="act0_proj")(maps[0])
-        l0 = StridedUpsample(self.layer_dims[0], 4, name="act0_up")(l0)
-        l1 = nn.Conv(self.layer_dims[1], (1, 1), name="act1_proj")(maps[1])
-        l1 = StridedUpsample(self.layer_dims[1], 2, name="act1_up")(l1)
-        l2 = nn.Conv(self.layer_dims[2], (1, 1), name="act2_proj")(maps[2])
-        l3 = nn.Conv(self.layer_dims[3], (1, 1), name="act3_proj")(maps[3])
-        l3 = nn.Conv(self.layer_dims[3], (3, 3), strides=(2, 2), padding=1, name="act3_down")(l3)
+        l0 = nn.Conv(self.layer_dims[0], (1, 1), dtype=dt, name="act0_proj")(maps[0])
+        l0 = StridedUpsample(self.layer_dims[0], 4, dt, name="act0_up")(l0)
+        l1 = nn.Conv(self.layer_dims[1], (1, 1), dtype=dt, name="act1_proj")(maps[1])
+        l1 = StridedUpsample(self.layer_dims[1], 2, dt, name="act1_up")(l1)
+        l2 = nn.Conv(self.layer_dims[2], (1, 1), dtype=dt, name="act2_proj")(maps[2])
+        l3 = nn.Conv(self.layer_dims[3], (1, 1), dtype=dt, name="act3_proj")(maps[3])
+        l3 = nn.Conv(self.layer_dims[3], (3, 3), strides=(2, 2), padding=1, dtype=dt, name="act3_down")(l3)
 
         # project all levels to the fusion feature dim
         rn = [
-            nn.Conv(self.feature_dim, (3, 3), padding=1, use_bias=False, name=f"layer{i+1}_rn")(l)
+            nn.Conv(self.feature_dim, (3, 3), padding=1, use_bias=False, dtype=dt, name=f"layer{i+1}_rn")(l)
             for i, l in enumerate([l0, l1, l2, l3])
         ]
 
-        p4 = FeatureFusionBlock(self.feature_dim, name="refinenet4")(rn[3])
+        p4 = FeatureFusionBlock(self.feature_dim, dt, name="refinenet4")(rn[3])
         p4 = p4[:, : rn[2].shape[1], : rn[2].shape[2], :]
-        p3 = FeatureFusionBlock(self.feature_dim, name="refinenet3")(p4, rn[2])
-        p2 = FeatureFusionBlock(self.feature_dim, name="refinenet2")(p3, rn[1])
-        p1 = FeatureFusionBlock(self.feature_dim, name="refinenet1")(p2, rn[0])
+        p3 = FeatureFusionBlock(self.feature_dim, dt, name="refinenet3")(p4, rn[2])
+        p2 = FeatureFusionBlock(self.feature_dim, dt, name="refinenet2")(p3, rn[1])
+        p1 = FeatureFusionBlock(self.feature_dim, dt, name="refinenet1")(p2, rn[0])
 
         # regression head to full resolution
-        x = nn.Conv(self.feature_dim // 2, (3, 3), padding=1, name="head0")(p1)
+        x = nn.Conv(self.feature_dim // 2, (3, 3), padding=1, dtype=dt, name="head0")(p1)
         x = resize_bilinear(x, (H, W), align_corners=True)
-        x = nn.Conv(self.last_dim, (3, 3), padding=1, name="head2")(x)
+        x = nn.Conv(self.last_dim, (3, 3), padding=1, dtype=dt, name="head2")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.out_channels, (1, 1), name="head4")(x)
-        return x  # [B, H, W, out_channels]
+        x = nn.Conv(self.out_channels, (1, 1), dtype=dt, name="head4")(x)
+        return x.astype(jnp.float32)  # [B, H, W, out_channels]
 
 
 class LinearPtsHead(nn.Module):

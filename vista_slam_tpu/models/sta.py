@@ -58,6 +58,20 @@ class STAConfig:
     # probability residuals — ops/pallas/attn_train.py); built for the
     # training step at 197 tokens, measured in BASELINE.md
     attn_fused_train: bool = False
+    # tanh-approximate GELU in the MLPs instead of the reference's exact
+    # erf GELU (torch.nn.GELU default). The exact erf is fp32 VPU work in
+    # the epilogue of the MLP matmul fusions and is the single largest
+    # encoder inefficiency (measured 48->63% MFU at batch 8 — BASELINE.md
+    # "Encoder roofline"); approximate=True trades ~2e-3 relative
+    # activation error for MXU throughput. Keep False when
+    # loading/verifying reference checkpoints.
+    gelu_approx: bool = False
+    # bf16 compute in the DPT head's conv pyramid (params stay fp32, the
+    # 4-channel output is returned fp32). fp32 heads are the parity
+    # default (the reference disables autocast around them, reference:
+    # vista_slam/slam.py:164,178); bf16 is the measured training-
+    # throughput knob for the head's fwd+bwd convs (BASELINE.md).
+    head_bf16: bool = False
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -80,17 +94,49 @@ class Mlp(nn.Module):
     dim: int
     hidden: int
     dtype: Any
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         return x
 
 
 def _ln(name):
     return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name=name)
+
+
+class PatchifyEmbed(nn.Module):
+    """Patch embedding as space-to-depth + one MXU matmul.
+
+    The same contraction as the reference's Conv2d(k=16, s=16) patch
+    projection (reference: vista_slam/sta_model/patch_embed.py:11-14 via
+    blocks/sta_blocks.py:235-280), but a stride-16 conv over a 3-channel
+    input cannot tile onto the MXU (measured 9 TF/s — BASELINE.md encoder
+    roofline) while the identical reshape to [B, N, P*P*3] @ [P*P*3, D]
+    runs at matmul rate. Parameter names and shapes are exactly nn.Conv's
+    ([P, P, 3, D] "kernel" + [D] "bias", fp32), so checkpoints and
+    models/convert.py are unaffected.
+    """
+    features: int
+    patch: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        p, d = self.patch, self.features
+        b, h, w, cin = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (p, p, cin, d))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        gh, gw = h // p, w // p
+        x = x.reshape(b, gh, p, gw, p, cin)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh, gw, p * p * cin)
+        y = jnp.dot(x.astype(self.dtype),
+                    kernel.reshape(p * p * cin, d).astype(self.dtype))
+        return y + bias.astype(self.dtype)
 
 
 class SelfAttention(nn.Module):
@@ -149,13 +195,14 @@ class EncoderBlock(nn.Module):
     use_flash: bool | None
     bf16_grad: bool = False
     fused_train: bool = False
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x, rope):
         h = _ln("norm1")(x).astype(self.dtype)
         x = x + SelfAttention(self.dim, self.heads, self.dtype, self.use_flash, self.bf16_grad, self.fused_train, name="attn")(h, rope)
         h = _ln("norm2")(x).astype(self.dtype)
-        x = x + Mlp(self.dim, self.dim * self.mlp_ratio, self.dtype, name="mlp")(h)
+        x = x + Mlp(self.dim, self.dim * self.mlp_ratio, self.dtype, self.gelu_approx, name="mlp")(h)
         return x
 
 
@@ -169,6 +216,7 @@ class DecoderBlock(nn.Module):
     use_flash: bool | None
     bf16_grad: bool = False
     fused_train: bool = False
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x, y, rope, rope_y=None):
@@ -181,7 +229,7 @@ class DecoderBlock(nn.Module):
         x = x + CrossAttention(self.dim, self.heads, self.dtype, self.use_flash, self.bf16_grad, self.fused_train, name="cross_attn")(
             h, y_, rope, rope_y)
         h = _ln("norm3")(x).astype(self.dtype)
-        x = x + Mlp(self.dim, self.dim * self.mlp_ratio, self.dtype, name="mlp")(h)
+        x = x + Mlp(self.dim, self.dim * self.mlp_ratio, self.dtype, self.gelu_approx, name="mlp")(h)
         return x
 
 
@@ -203,26 +251,28 @@ class STA(nn.Module):
         # ~1/3 more FLOPs for O(depth) less activation memory
         Enc = nn.remat(EncoderBlock) if c.remat else EncoderBlock
         Dec = nn.remat(DecoderBlock) if c.remat else DecoderBlock
-        self.patch_proj = nn.Conv(c.enc_dim, (c.patch_size, c.patch_size),
-                                  strides=(c.patch_size, c.patch_size),
-                                  dtype=c.compute_dtype, name="patch_embed")
+        self.patch_proj = PatchifyEmbed(c.enc_dim, c.patch_size,
+                                        c.compute_dtype, name="patch_embed")
         self.enc_blocks = [
             Enc(c.enc_dim, c.enc_heads, c.mlp_ratio, c.compute_dtype,
-                c.use_flash, c.attn_bf16_grad, c.attn_fused_train, name=f"enc_block{i}")
+                c.use_flash, c.attn_bf16_grad, c.attn_fused_train, c.gelu_approx, name=f"enc_block{i}")
             for i in range(c.enc_depth)
         ]
         self.enc_norm = _ln("enc_norm")
         self.decoder_embed = nn.Dense(c.dec_dim, dtype=c.compute_dtype, name="decoder_embed")
         self.dec_blocks = [
             Dec(c.dec_dim, c.dec_heads, c.mlp_ratio, c.compute_dtype,
-                c.use_flash, c.attn_bf16_grad, c.attn_fused_train, name=f"dec_block{i}")
+                c.use_flash, c.attn_bf16_grad, c.attn_fused_train, c.gelu_approx, name=f"dec_block{i}")
             for i in range(c.dec_depth)
         ]
         self.dec_norm = _ln("dec_norm")
         self.pose_token = self.param(
             "pose_token", nn.initializers.normal(0.02), (1, 1, c.dec_dim))
         if c.head_type == "dpt":
-            self.head_pts = DPTHead(patch_size=c.patch_size, name="head_pts")
+            self.head_pts = DPTHead(
+                patch_size=c.patch_size,
+                dtype=jnp.bfloat16 if c.head_bf16 else jnp.float32,
+                name="head_pts")
         else:
             self.head_pts = LinearPtsHead(patch_size=c.patch_size, name="head_pts")
         self.head_pose = PoseHead(name="head_pose")
