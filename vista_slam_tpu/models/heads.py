@@ -92,11 +92,11 @@ class DPTHead(nn.Module):
     out_channels: int = 4
     # compute dtype for the conv pyramid. fp32 is the parity default (the
     # reference disables autocast around its heads, slam.py:164,178 — and
-    # trains everything fp32); bf16 is the measured training-throughput
-    # knob (STAConfig.head_bf16, BASELINE.md): fp32 convs cannot use the
-    # MXU's bf16 rate, and the head's fwd+bwd conv FLOPs are a large slice
-    # of the train step. Params stay fp32 either way; the 4-channel output
-    # is always returned fp32 for postprocess/losses.
+    # trains everything fp32); bf16 is a measured MEMORY knob
+    # (STAConfig.head_bf16): the batch-8 ABBA A/B found step-time parity
+    # (the conv-slice saving hides under MXU work) but -0.70 GB XLA temp
+    # arena (BASELINE.md "Encoder roofline"). Params stay fp32 either way;
+    # the 4-channel output is always returned fp32 for postprocess/losses.
     dtype: Any = jnp.float32
 
     @nn.compact

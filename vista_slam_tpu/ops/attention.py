@@ -46,12 +46,16 @@ def mha_xla_bf16res(q, k, v, scale):
     training-step roofline (BASELINE.md, ~10% of the 147 ms batch-8 step).
     This custom_vjp saves the probabilities in bf16 instead (the same
     values the PV matmul consumes anyway at bf16 compute dtype) and
-    recomputes the softmax VJP from them: halves the residual bytes and
-    drops the fp32->bf16 recast copies, at the cost of ~2^-8 relative
+    recomputes the softmax VJP from them, at the cost of ~2^-8 relative
     error on d(logits) — the same error scale every other bf16 matmul in
     the model already injects (grad parity pinned in
     tests/test_attention_grads.py). Forward output is bit-identical to
-    `mha_xla`."""
+    `mha_xla`. MEASURED NEUTRAL on v5e on both axes it was built for
+    (BASELINE.md "Training-step roofline"): step time 149 vs 150 ms at
+    batch 8 (the residual copies were already overlapped with MXU work)
+    and peak memory 10.73 vs 10.74 GB temp at batch 16 no-remat — XLA's
+    remat pass already compresses the fp32 residuals to bf16 on its own.
+    Kept as a documented experiment; leave the flag off."""
     return _bf16res_fwd(q, k, v, scale)[0]
 
 
