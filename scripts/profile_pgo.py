@@ -37,11 +37,19 @@ def main():
     ap.add_argument("--chol-panel", type=int, default=None,
                     help="blocked-cholesky panel override; a value >= the "
                          "window dim falls back to XLA's monolithic cholesky")
+    ap.add_argument("--solver", default=None,
+                    choices=["auto", "dense", "pcg"],
+                    help="linear-solver override (PGOConfig.solver)")
+    ap.add_argument("--pcg-precond", default=None,
+                    choices=["tridiag", "jacobi"],
+                    help="PCG preconditioner override")
+    ap.add_argument("--cg-iters", type=int, default=None,
+                    help="PCG iteration budget override")
     ap.add_argument("--ab", action="store_true",
                     help="paired A/B: alternate the configured solver (arm "
-                         "B) with the default monolithic solve (arm A) in "
-                         "ONE process, so relay drift hits both arms "
-                         "equally (see CLAUDE.md measurement gotchas)")
+                         "B) with the PGOConfig defaults (arm A) in ONE "
+                         "process, so relay drift hits both arms equally "
+                         "(see CLAUDE.md measurement gotchas)")
     ap.add_argument("--ab-reps", type=int, default=3,
                     help="paired repetitions per arm in --ab mode")
     args = ap.parse_args()
@@ -52,6 +60,12 @@ def main():
         cfg_kw["factor_refine"] = args.factor_refine
     if args.chol_panel is not None:
         cfg_kw["chol_panel"] = args.chol_panel
+    if args.solver is not None:
+        cfg_kw["solver"] = args.solver
+    if args.pcg_precond is not None:
+        cfg_kw["pcg_precond"] = args.pcg_precond
+    if args.cg_iters is not None:
+        cfg_kw["cg_iters"] = args.cg_iters
 
     print(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
@@ -126,6 +140,18 @@ def main():
             return float("nan")
 
     def solve(cfg):
+        resolved = cfg.solver
+        if resolved == "auto":
+            resolved = "dense" if n_opt <= cfg.dense_max else "pcg"
+        if resolved == "pcg":
+            # no factorization-shaped lower bound exists for the matvec
+            # solver, so the async-illusion guard cannot discriminate —
+            # always time through a forced host fetch instead (adds one
+            # device->host RTT, conservative for the sub-second solves)
+            t0 = time.time()
+            out, info = optimize_pose_graph(*buffers, cfg)
+            np.asarray(out)
+            return time.time() - t0, info
         t0 = time.time()
         out, info = optimize_pose_graph(*buffers, cfg)
         jax.block_until_ready(out)
@@ -144,8 +170,9 @@ def main():
 
     if args.ab:
         if not cfg_kw:
-            ap.error("--ab needs at least one of --factor-precision/"
-                     "--factor-refine/--chol-panel; with none, arm B is "
+            ap.error("--ab needs at least one override flag (--solver/"
+                     "--pcg-precond/--cg-iters/--factor-precision/"
+                     "--factor-refine/--chol-panel); with none, arm B is "
                      "identical to arm A and the paired delta is pure noise")
         # paired A/B: compile both arms first, then alternate measured
         # solves in an ABBA schedule (arm order reversed on alternate reps)
@@ -153,7 +180,7 @@ def main():
         # a fixed A,B order would measure B systematically half a
         # pair-period later than A.
         arm_a, arm_b = PGOConfig(), PGOConfig(**cfg_kw)
-        for name, cfg in (("A (monolithic default)", arm_a),
+        for name, cfg in (("A (defaults)", arm_a),
                           (f"B ({cfg_kw})", arm_b)):
             dt, info = solve(cfg)
             print(f"arm {name}: compile+first solve {dt:.1f}s  "

@@ -4,13 +4,14 @@ vista_slam/slam.py:43,123-137, pypose LM + ppos.Cholesky) — sharing the
 production solver's residuals, Jacobians, weighting and retraction
 (vista_slam_tpu/slam/pgo.py). The only difference is the linear solve:
 exact dense fp64 over the FULL node set here vs the production paths — a
-windowed fp32 equilibrated dense Cholesky by default (the round-3 flip;
-see PGOConfig.solver), with matrix-free block-Jacobi PCG as the
-large-window fallback.
+windowed fp32 equilibrated dense Cholesky up to dense_max optimized nodes
+and chain-preconditioned matrix-free PCG beyond (the measured v5e
+crossover; see PGOConfig.solver).
 
 Used by test_pgo.py to cross-check that the production solver's optimum
-matches an exact solve — it is what caught the truncated-PCG stall that
-forced the dense default; any future regression on either path fails there.
+matches an exact solve — it is what caught the block-Jacobi truncated-PCG
+stall in round 3 (and then certified the round-4 block-tridiagonal
+preconditioner that fixed it); any regression on either path fails there.
 """
 
 from __future__ import annotations

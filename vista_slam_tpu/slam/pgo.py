@@ -10,14 +10,19 @@ TPU-native solver:
     tangent-space Jacobians are computed with vmapped forward-mode autodiff.
   * Two linear solvers for the Gauss-Newton system
     (J^T W J + lambda D) delta = -J^T W r, chosen per call (PGOConfig.
-    solver): the default gathers the optimization window into a padded
-    static bucket and solves exactly with an equilibrated dense Cholesky —
-    the reference's solver shape, sized by the WINDOW rather than the full
-    node buffer — and a matrix-free block-Jacobi PCG fallback with
-    O(E + N) memory for windows past dense_max. The dense default is
-    load-bearing: the cross-check against an fp64 dense-Cholesky oracle
-    (tests/test_pgo.py, tests/exact_pgo.py) showed truncated PCG stalling
-    far above the exact optimum on ill-conditioned long-chain windows.
+    solver). "dense" gathers the optimization window into a padded static
+    bucket and solves exactly with an equilibrated dense Cholesky — the
+    reference's solver shape, sized by the WINDOW rather than the full
+    node buffer. "pcg" is matrix-free PCG with O(E + N) memory,
+    preconditioned by an exact solve of the block-TRIDIAGONAL part of H
+    (the odometry chain — ops/block_tridiag.py, cyclic reduction); the
+    chain preconditioner is what lets PCG match the fp64 dense-Cholesky
+    oracle (tests/test_pgo.py, tests/exact_pgo.py) on the ill-conditioned
+    long-chain windows where plain block-Jacobi PCG stalls ~2x above the
+    optimum. "auto" picks dense up to dense_max optimized nodes and pcg
+    beyond — the measured v5e crossover (BASELINE.md): dense 0.80/1.87 s
+    per solve at 1024/2048-node windows vs PCG's flat ~2.6-3.8 s, but
+    12.8 s at the 4800-node full-graph window where PCG takes 3.8 s.
   * The LM outer loop with damping adaptation and plateau early-exit runs
     inside lax.while_loop (semantics of pypose's TrustRegion +
     StopOnPlateau(steps=20, patience=3, decreasing=1e-4), slam.py:125-127).
@@ -36,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import sim3
+from ..ops.block_tridiag import factor_block_tridiag, solve_block_tridiag
 from ..ops.linalg import blocked_cholesky
 
 
@@ -51,17 +57,37 @@ class PGOConfig(NamedTuple):
     # Linear solver for the normal equations. "dense": gather the optimized
     # nodes into a padded window and solve exactly with an equilibrated
     # Cholesky — the reference's solver shape (pypose LM + ppos.Cholesky,
-    # slam.py:43,123-137). "pcg": matrix-free block-Jacobi PCG, O(E + N)
-    # memory. "auto" (default): dense up to dense_max optimized nodes, pcg
-    # beyond. The dense-Cholesky cross-check in tests/test_pgo.py showed why
-    # dense is the default: on a long-chain window entered with large drift
-    # the Hessian is so ill-conditioned that even a 2048-iteration fp64 PCG
-    # stalls ~2x above the exact optimum (0.21 vs 0.11 final loss), which
-    # would move ATE.
+    # slam.py:43,123-137). "pcg": matrix-free PCG, O(E + N) memory,
+    # chain-preconditioned (pcg_precond below). "auto" (default): dense up
+    # to dense_max optimized nodes, pcg beyond. dense_max=2048 is the
+    # measured v5e crossover (paired ABBA, scripts/profile_pgo.py --ab,
+    # 2026-08-19): dense 800/1873 ms per 20-step solve at 1024/2048-node
+    # windows vs PCG's near-flat 2.6-3.8 s (its cost is set by the padded
+    # buffer shape + CG trip count, not the window), but 12.78 s at the
+    # 4800-node full-graph window where PCG takes 3.80 s (-70%) at the
+    # same final loss (0.02334 vs 0.02329, within the oracle contract).
+    # Accuracy is solver-independent since round 4: with the tridiag
+    # preconditioner PCG matches the fp64 oracle on the very windows that
+    # forced the dense default in round 3 (tests/test_pgo.py::
+    # test_pcg_tridiag_matches_exact_on_production_padded_window).
     solver: str = "auto"
-    dense_max: int = 8192
+    dense_max: int = 2048
     cg_iters: int = 128
     cg_tol: float = 1e-6
+    # PCG preconditioner. "tridiag" (default): exact solve of the
+    # block-TRIDIAGONAL part of H per CG iteration (cyclic reduction,
+    # ops/block_tridiag.py) — the odometry chain that dominates a SLAM
+    # window Hessian lives entirely inside the band, so preconditioned CG
+    # only has to resolve the low-rank loop-closure couplings. This is
+    # what fixes the documented block-Jacobi stall (information crossing
+    # the chain one node per iteration): with it, solver="pcg" matches the
+    # fp64 dense oracle on the same stress windows that forced the dense
+    # default in round 3 (tests/test_pgo.py::test_pcg_tridiag_*).
+    # "jacobi": per-node 7x7 blocks only — the round-2/3 behavior, kept
+    # for comparison and as the fallback if a window's node ordering is
+    # ever non-temporal (the tridiag band would then be empty of chain
+    # edges and degrade TO block-Jacobi, so even that is safe).
+    pcg_precond: str = "tridiag"
     # The dense factorization is the FLOPs bulk of a windowed solve
     # (O((7K)^3/3) per LM step) and XLA's TPU cholesky runs it at a fixed
     # ~17 TFLOP/s regardless of the ambient matmul precision (measured,
@@ -356,7 +382,32 @@ def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
         damp = lam * diag + 1e-10
         blocks = blocks0 + jax.vmap(jnp.diag)(damp)
         blocks = blocks + jnp.eye(7, dtype=f32) * 1e-8
-        blocks_inv = jnp.linalg.inv(blocks)
+
+        if cfg.pcg_precond == "tridiag":
+            # super-diagonal blocks of H: the full PSD contribution of
+            # every chain edge (|i-j| == 1) lands inside the band; all
+            # other edges keep only their diagonal blocks (already in
+            # `blocks`), so the preconditioner stays SPD (dropping the
+            # off-diagonal coupling of a PSD 2x2-block contribution is
+            # PSD-preserving). Fixed/pad endpoints contribute zero here
+            # (Ji/Jj are opt-masked), so non-opt rows decouple exactly.
+            Bij = jnp.einsum("era,er,erb->eab", Ji, w, Jj)
+            fwd = (ej == ei + 1).astype(f32)[:, None, None]
+            bwd = (ei == ej + 1).astype(f32)[:, None, None]
+            Csup = jnp.zeros((N, 7, 7), f32)
+            Csup = Csup.at[ei].add(Bij * fwd)
+            Csup = Csup.at[ej].add(jnp.swapaxes(Bij, 1, 2) * bwd)
+            Bt = jnp.where(opt_mask[:, None, None], blocks,
+                           jnp.eye(7, dtype=f32))
+            fac = factor_block_tridiag(Bt, Csup)
+
+            def precond(v):
+                return solve_block_tridiag(fac, v) * opt
+        else:
+            blocks_inv = jnp.linalg.inv(blocks)
+
+            def precond(v):
+                return jnp.einsum("nab,nb->na", blocks_inv, v) * opt
 
         def Hv(v):  # v [N,7] -> (J^T W J + lam D) v, restricted to opt nodes
             v = v * opt
@@ -367,9 +418,6 @@ def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
             out = out.at[ei].add(jnp.einsum("erc,er->ec", Ji, wJv))
             out = out.at[ej].add(jnp.einsum("erc,er->ec", Jj, wJv))
             return (out + damp * v) * opt
-
-        def precond(v):
-            return jnp.einsum("nab,nb->na", blocks_inv, v) * opt
 
         # PCG for H delta = -g
         b = -g
