@@ -74,9 +74,10 @@ def build_loop_detector(cfg: Config):
 
 def build_pgo_config(cfg: Config):
     """Optional `pgo:` mapping in the YAML overrides PGOConfig fields, e.g.
-    `pgo: {solver: pcg}` to trade the exact dense solve for the
-    O(E+N)-memory PCG on latency-sensitive live runs, or a larger
-    max_steps budget for offline accuracy. Unknown keys fail loudly."""
+    `pgo: {solver: pcg}` to force the O(E+N)-memory chain-preconditioned
+    PCG below the measured dense_max crossover (docs/PERFORMANCE.md), or
+    a larger max_steps budget for offline accuracy. Unknown keys fail
+    loudly."""
     from ..slam.pgo import PGOConfig
 
     overrides = cfg.get("pgo") or {}

@@ -72,6 +72,10 @@ class PGOConfig(NamedTuple):
     # test_pcg_tridiag_matches_exact_on_production_padded_window).
     solver: str = "auto"
     dense_max: int = 2048
+    # CG budget: the tolerance exit means the 128 cap rarely binds with
+    # the tridiag preconditioner — 32/64-iter caps were A/B'd at the
+    # full-graph window and refuted (9.6%/5.7% faster but the 32-iter
+    # final loss drifts outside the fp64-oracle contract; BASELINE.md).
     cg_iters: int = 128
     cg_tol: float = 1e-6
     # PCG preconditioner. "tridiag" (default): exact solve of the
