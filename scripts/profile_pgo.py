@@ -45,6 +45,10 @@ def main():
                     help="PCG preconditioner override")
     ap.add_argument("--cg-iters", type=int, default=None,
                     help="PCG iteration budget override")
+    ap.add_argument("--precond-inv", default=None,
+                    choices=["unrolled", "lapack"],
+                    help="preconditioner small-inverse override "
+                         "(PGOConfig.precond_inv)")
     ap.add_argument("--ab", action="store_true",
                     help="paired A/B: alternate the configured solver (arm "
                          "B) with the PGOConfig defaults (arm A) in ONE "
@@ -52,6 +56,11 @@ def main():
                          "(see CLAUDE.md measurement gotchas)")
     ap.add_argument("--ab-reps", type=int, default=3,
                     help="paired repetitions per arm in --ab mode")
+    ap.add_argument("--trace-dir", default=None,
+                    help="capture a jax.profiler trace of ONE steady-state "
+                         "solve (configured arms only, no --ab) and print "
+                         "the op-level attribution (same tooling as "
+                         "profile_encoder.py)")
     args = ap.parse_args()
     cfg_kw = {}
     if args.factor_precision is not None:
@@ -66,6 +75,8 @@ def main():
         cfg_kw["pcg_precond"] = args.pcg_precond
     if args.cg_iters is not None:
         cfg_kw["cg_iters"] = args.cg_iters
+    if args.precond_inv is not None:
+        cfg_kw["precond_inv"] = args.precond_inv
 
     print(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
@@ -171,8 +182,9 @@ def main():
     if args.ab:
         if not cfg_kw:
             ap.error("--ab needs at least one override flag (--solver/"
-                     "--pcg-precond/--cg-iters/--factor-precision/"
-                     "--factor-refine/--chol-panel); with none, arm B is "
+                     "--pcg-precond/--cg-iters/--precond-inv/"
+                     "--factor-precision/--factor-refine/--chol-panel); "
+                     "with none, arm B is "
                      "identical to arm A and the paired delta is pure noise")
         # paired A/B: compile both arms first, then alternate measured
         # solves in an ABBA schedule (arm order reversed on alternate reps)
@@ -209,6 +221,14 @@ def main():
     print(f"compile+first solve: {dt:.1f}s  "
           f"steps={int(info['steps'])} loss {float(info['loss0']):.4g} -> "
           f"{float(info['loss']):.4g}")
+
+    if args.trace_dir:
+        from profile_encoder import attribute_trace
+        with jax.profiler.trace(args.trace_dir):
+            _, info = solve(PGOConfig(**cfg_kw))
+        print(f"traced solve: steps={int(info['steps'])}")
+        attribute_trace(args.trace_dir)
+        return
 
     t0 = time.time()
     reps = 3

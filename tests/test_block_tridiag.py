@@ -44,16 +44,18 @@ def _random_spd_tridiag(M, d, rng, identity_rows=()):
     return B, C, dense
 
 
+@pytest.mark.parametrize("inv_impl", ["unrolled", "lapack"])
 @pytest.mark.parametrize("M,d", [(1, 7), (2, 7), (3, 7), (5, 3), (8, 7),
                                  (37, 7), (64, 5), (100, 7)])
-def test_cr_matches_dense_solve(M, d):
+def test_cr_matches_dense_solve(M, d, inv_impl):
     rng = np.random.default_rng(M * 100 + d)
     B, C, dense = _random_spd_tridiag(M, d, rng)
     r = rng.standard_normal((M, d))
     x_ref = np.linalg.solve(dense, r.reshape(-1)).reshape(M, d)
 
     fac = factor_block_tridiag(jnp.asarray(B, jnp.float32),
-                               jnp.asarray(C, jnp.float32))
+                               jnp.asarray(C, jnp.float32),
+                               inv_impl=inv_impl)
     x = np.asarray(solve_block_tridiag(fac, jnp.asarray(r, jnp.float32)))
     assert np.allclose(x, x_ref, rtol=2e-4, atol=2e-4), \
         np.abs(x - x_ref).max()

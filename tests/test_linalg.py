@@ -1,9 +1,12 @@
-"""ops/linalg.blocked_cholesky vs the exact factorization."""
+"""ops/linalg.blocked_cholesky vs the exact factorization, plus the
+small-matrix routines (gauss_jordan_inv, cramer_solve3) that replace
+TPU's LuDecompositionBlock custom-call on the PGO hot path."""
 
 import numpy as np
 import jax.numpy as jnp
 
-from vista_slam_tpu.ops.linalg import blocked_cholesky
+from vista_slam_tpu.ops.linalg import (blocked_cholesky, cramer_solve3,
+                                       gauss_jordan_inv)
 
 
 def _spd(n, cond=1e4, seed=0):
@@ -95,6 +98,54 @@ def test_panel_floor_scales_with_dimension():
     ref = np.linalg.cholesky(a)
     assert np.allclose(L, ref, atol=2e-3)
     assert np.allclose(L, np.tril(L))
+
+
+def _batched_spd(m, d, seed=0, damp=0.3):
+    rng = np.random.default_rng(seed)
+    j = rng.standard_normal((m, 2 * d, d))
+    b = np.einsum("mkd,mke->mde", j, j)
+    b[:, np.arange(d), np.arange(d)] += damp + rng.random((m, d))
+    return b
+
+
+def test_gauss_jordan_inv_matches_numpy():
+    """The unrolled SPD inverse vs np.linalg.inv at the PGO block shapes
+    ([M, 7, 7] preconditioner blocks, [M, 3, 3]) and a leading-batch-dims
+    shape, at fp32 tolerances."""
+    for m, d, seed in [(64, 7, 1), (128, 3, 2), (5, 5, 3)]:
+        b = _batched_spd(m, d, seed=seed)
+        inv = np.asarray(gauss_jordan_inv(jnp.asarray(b, jnp.float32)))
+        np.testing.assert_allclose(inv, np.linalg.inv(b),
+                                   rtol=2e-3, atol=2e-4)
+    # arbitrary leading batch dims
+    b = _batched_spd(12, 4, seed=4).reshape(3, 4, 4, 4)
+    inv = np.asarray(gauss_jordan_inv(jnp.asarray(b, jnp.float32)))
+    np.testing.assert_allclose(inv, np.linalg.inv(b), rtol=2e-3, atol=2e-4)
+
+
+def test_gauss_jordan_inv_pivot_floor_keeps_finite():
+    """A structurally-singular block (e.g. a stale cyclic-reduction row)
+    must come back garbage-but-FINITE — inf/NaN there could leak into
+    neighboring valid rows through a later level's subtraction."""
+    b = _batched_spd(4, 7, seed=5)
+    b[2] = 0.0  # exactly singular: every pivot hits the floor
+    inv = np.asarray(gauss_jordan_inv(jnp.asarray(b, jnp.float32)))
+    assert np.isfinite(inv).all()
+    good = np.linalg.inv(b[[0, 1, 3]])
+    np.testing.assert_allclose(inv[[0, 1, 3]], good, rtol=2e-3, atol=2e-4)
+
+
+def test_cramer_solve3_matches_numpy():
+    rng = np.random.default_rng(6)
+    a = _batched_spd(200, 3, seed=6)
+    # also non-symmetric well-conditioned systems (sim3.log's W is aI +
+    # b*hat(phi) + c*hat(phi)^2 — NOT symmetric)
+    a[100:] += 0.5 * rng.standard_normal((100, 3, 3))
+    x_ref = rng.standard_normal((200, 3))
+    b = (a @ x_ref[..., None])[..., 0]
+    x = np.asarray(cramer_solve3(jnp.asarray(a, jnp.float32),
+                                 jnp.asarray(b, jnp.float32)))
+    np.testing.assert_allclose(x, x_ref, rtol=2e-3, atol=2e-4)
 
 
 def test_production_window_trace_stays_small():

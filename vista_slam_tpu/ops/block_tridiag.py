@@ -38,6 +38,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .linalg import gauss_jordan_inv
+
 
 def _shift_down(x, s, fill):
     """y[i] = x[i-s] (y[:s] = fill)."""
@@ -51,7 +53,8 @@ def _shift_up(x, s, fill):
     return jnp.concatenate([x[s:], pad], axis=0)
 
 
-def factor_block_tridiag(B: jnp.ndarray, C: jnp.ndarray):
+def factor_block_tridiag(B: jnp.ndarray, C: jnp.ndarray,
+                         inv_impl: str = "unrolled"):
     """Cyclic-reduction factorization of the SPD block-tridiagonal matrix
     with diagonal blocks ``B[i]`` ([M, d, d]) and super-diagonal blocks
     ``C[i]`` coupling rows i and i+1 ([M, d, d]; ``C[M-1]`` must be zero).
@@ -63,15 +66,26 @@ def factor_block_tridiag(B: jnp.ndarray, C: jnp.ndarray):
 
     Cost: ceil(log2(M)) levels of batched d x d matmuls + one batched
     d x d inverse per level — O(M log M * d^3) FLOPs total, all batched.
+
+    inv_impl picks the batched d x d inverse: "unrolled" (default) is the
+    Gauss-Jordan elimination in ops/linalg.py — safe here because every
+    level's ACTIVE blocks are Schur complements of an SPD matrix, hence
+    SPD, and its pivot floor keeps the never-read stale rows finite;
+    "lapack" is `jnp.linalg.inv`, whose TPU `LuDecompositionBlock`
+    custom-call was measured at 67% of the whole full-graph PGO solve
+    (~5.4 ms x 14 inverses per factorization at [4800, 7, 7] — see
+    BASELINE.md; the A/B: 898 ms vs 3459 ms per 20-step solve). Kept for A/B and as the fallback should a non-SPD input
+    ever need pivoting.
     """
     M, d = B.shape[0], B.shape[1]
+    inv = gauss_jordan_inv if inv_impl == "unrolled" else jnp.linalg.inv
     eye = jnp.eye(d, dtype=B.dtype)
     A = jnp.swapaxes(_shift_down(C, 1, jnp.zeros((d, d), B.dtype)), 1, 2)
 
     levels = []
     s = 1
     while s < M:
-        Binv = jnp.linalg.inv(B)
+        Binv = inv(B)
         Binv_dn = _shift_down(Binv, s, eye)
         Binv_up = _shift_up(Binv, s, eye)
         z = jnp.zeros((d, d), B.dtype)
@@ -88,7 +102,7 @@ def factor_block_tridiag(B: jnp.ndarray, C: jnp.ndarray):
         A = -(P @ A_dn)
         C = -(Q @ C_up)
         s *= 2
-    root_inv = jnp.linalg.inv(B)        # only row 0 is read at the root
+    root_inv = inv(B)                   # only row 0 is read at the root
     return (M, d, tuple(levels), root_inv)
 
 

@@ -37,6 +37,81 @@ import jax
 import jax.numpy as jnp
 
 
+def gauss_jordan_inv(B: jnp.ndarray, pivot_floor: float = 1e-30) -> jnp.ndarray:
+    """Batched inverse of SMALL well-conditioned matrices ([..., d, d],
+    d <= ~16) via Gauss-Jordan elimination unrolled at trace time.
+
+    Why not `jnp.linalg.inv`: on TPU every batched LU lowers to the
+    `LuDecompositionBlock` custom-call, which serializes per pivot row and
+    runs tiny batched blocks pathologically slowly — a profiler trace of
+    the full-graph PGO PCG solve (BASELINE.md "PGO solver crossover")
+    showed 67% of device time (1.74 s of a 2.59 s 20-LM-step solve) in
+    these custom-calls: ~5.4 ms per inv([4800, 7, 7]) execution, 14
+    inverse ops per preconditioner factorization.
+    This routine is d unrolled elimination steps of pure vectorized
+    elementwise work on a [..., d, 2d] augmented matrix — no custom-call,
+    fuses with its consumers, and measures in the tens of microseconds at
+    the same shape.
+
+    No pivoting: intended for SPD (or otherwise diagonally-dominant)
+    inputs, where pivots stay positive — Gauss-Jordan without pivoting on
+    SPD matrices is backward-stable. Rows whose pivot collapses below
+    `pivot_floor` (e.g. structurally-stale rows of a cyclic-reduction
+    level that are never read — see ops/block_tridiag.py) divide by 1.0
+    instead, so they yield garbage-but-FINITE values rather than inf/NaN
+    that could leak into neighbors through a later subtraction.
+    """
+    d = B.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=B.dtype), B.shape)
+    aug = jnp.concatenate([B, eye], axis=-1)  # [..., d, 2d]
+    for k in range(d):
+        piv = aug[..., k, k]
+        piv = jnp.where(jnp.abs(piv) > pivot_floor, piv, 1.0)
+        row = aug[..., k, :] / piv[..., None]
+        fac = aug[..., :, k]
+        # eliminates column k everywhere INCLUDING row k (which becomes 0),
+        # then writes the normalized pivot row back
+        aug = aug - fac[..., None] * row[..., None, :]
+        aug = aug.at[..., k, :].set(row)
+    return aug[..., :, d:]
+
+
+def cramer_solve3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched solve of 3x3 systems A x = b ([..., 3, 3], [..., 3]) via the
+    adjugate (Cramer's rule), as ~30 fused elementwise ops.
+
+    Exists for the same reason as `gauss_jordan_inv`: `jnp.linalg.solve`
+    on a batched [..., 3, 3] lowers to TPU's `LuDecompositionBlock`
+    custom-call (measured ~2.5 ms per solve([5200, 3, 3]) execution
+    inside the PGO loop — sim3.log's W-solve, ~98 ms of the traced
+    20-step solve). For 3x3 the explicit adjugate is exact
+    algebra, accurate for the well-conditioned W matrices Sim(3) produces
+    (cond(W) stays moderate for all sigma/theta — the coefficient guards
+    in ops/sim3.py keep W away from singularity), and fuses into the
+    surrounding computation. A singular A yields inf/NaN exactly like the
+    LU path would.
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    # adj[i, j] = cofactor(j, i)
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c10 + a02 * c20
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    x0 = (c00 * b0 + c01 * b1 + c02 * b2) / det
+    x1 = (c10 * b0 + c11 * b1 + c12 * b2) / det
+    x2 = (c20 * b0 + c21 * b1 + c22 * b2) / det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def blocked_cholesky(H: jnp.ndarray, panel: int = 512,
                      update_precision: str = "default") -> jnp.ndarray:
     """Lower-triangular Cholesky factor of a symmetric PD matrix.

@@ -25,6 +25,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .linalg import cramer_solve3
+
 _EPS = 1e-8
 _SMALL = 1e-6  # switch point to Taylor expansions
 
@@ -353,11 +355,20 @@ def exp(xi: jnp.ndarray) -> jnp.ndarray:
 
 
 def log(g: jnp.ndarray) -> jnp.ndarray:
-    """Logarithm map Sim(3) -> sim(3)."""
+    """Logarithm map Sim(3) -> sim(3).
+
+    The 3x3 W-solve uses the explicit adjugate (ops/linalg.cramer_solve3)
+    rather than `jnp.linalg.solve`: on TPU the batched LU lowers to the
+    serial `LuDecompositionBlock` custom-call (~2.5 ms per [5200, 3, 3]
+    solve execution inside the PGO loop — profiler trace, BASELINE.md),
+    while the adjugate is ~30 fused elementwise ops. W is kept well-conditioned by
+    the series/trig coefficient guards in `_sim3_W_coeffs` (covered down
+    to the pi-rotation and extreme-scale corners in tests/test_sim3.py).
+    """
     phi = so3_log_quat(quat(g))
     sigma = jnp.log(jnp.maximum(scale(g), _EPS))
     W = _sim3_W(phi, sigma)
-    tau = jnp.linalg.solve(W, trans(g)[..., None])[..., 0]
+    tau = cramer_solve3(W, trans(g))
     return jnp.concatenate([tau, phi, sigma[..., None]], axis=-1)
 
 

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from ..ops import sim3
 from ..ops.block_tridiag import factor_block_tridiag, solve_block_tridiag
-from ..ops.linalg import blocked_cholesky
+from ..ops.linalg import blocked_cholesky, gauss_jordan_inv
 
 
 class PGOConfig(NamedTuple):
@@ -62,10 +62,11 @@ class PGOConfig(NamedTuple):
     # to dense_max optimized nodes, pcg beyond. dense_max=2048 is the
     # measured v5e crossover (paired ABBA, scripts/profile_pgo.py --ab,
     # 2026-08-19): dense 800/1873 ms per 20-step solve at 1024/2048-node
-    # windows vs PCG's near-flat 2.6-3.8 s (its cost is set by the padded
-    # buffer shape + CG trip count, not the window), but 12.78 s at the
-    # 4800-node full-graph window where PCG takes 3.80 s (-70%) at the
-    # same final loss (0.02334 vs 0.02329, within the oracle contract).
+    # windows vs PCG's near-flat buffer-shaped cost (set by the padded
+    # buffer + CG trip count, not the window), but 12.78 s at the
+    # 4800-node full-graph window where PCG takes 0.90 s (-93%; 3.80 s
+    # before the precond_inv fix below) at the same final loss (0.02334
+    # vs 0.02329, within the oracle contract).
     # Accuracy is solver-independent since round 4: with the tridiag
     # preconditioner PCG matches the fp64 oracle on the very windows that
     # forced the dense default in round 3 (tests/test_pgo.py::
@@ -92,6 +93,19 @@ class PGOConfig(NamedTuple):
     # ever non-temporal (the tridiag band would then be empty of chain
     # edges and degrade TO block-Jacobi, so even that is safe).
     pcg_precond: str = "tridiag"
+    # Batched small-matrix inverse used when BUILDING either preconditioner
+    # ("unrolled" Gauss-Jordan vs "lapack" `jnp.linalg.inv`). A profiler
+    # trace of the full-graph PCG solve (scripts/profile_pgo.py
+    # --trace-dir) attributed 67% of device time to the LAPACK path's
+    # `LuDecompositionBlock` TPU custom-call on the [4800, 7, 7] blocks
+    # (~5.4 ms per inverse, 14 per tridiag factorization); the unrolled
+    # Gauss-Jordan (ops/linalg.py) is pure fused VPU work. Paired ABBA at
+    # the 4790-node window (v5e, 2026-08-19): 898 ms vs 3459 ms per
+    # 20-step solve, identical trajectory (loss 0.02334 both arms), at
+    # the cost of a bigger cache-cold compile (581 s vs 52 s — amortized
+    # by the persistent cache). "lapack" stays as the A/B arm and escape
+    # hatch.
+    precond_inv: str = "unrolled"
     # The dense factorization is the FLOPs bulk of a windowed solve
     # (O((7K)^3/3) per LM step) and XLA's TPU cholesky runs it at a fixed
     # ~17 TFLOP/s regardless of the ambient matmul precision (measured,
@@ -403,12 +417,14 @@ def _optimize_pose_graph_impl(nodes, edges, edge_poses, edge_confs,
             Csup = Csup.at[ej].add(jnp.swapaxes(Bij, 1, 2) * bwd)
             Bt = jnp.where(opt_mask[:, None, None], blocks,
                            jnp.eye(7, dtype=f32))
-            fac = factor_block_tridiag(Bt, Csup)
+            fac = factor_block_tridiag(Bt, Csup, inv_impl=cfg.precond_inv)
 
             def precond(v):
                 return solve_block_tridiag(fac, v) * opt
         else:
-            blocks_inv = jnp.linalg.inv(blocks)
+            blocks_inv = (gauss_jordan_inv(blocks)
+                          if cfg.precond_inv == "unrolled"
+                          else jnp.linalg.inv(blocks))
 
             def precond(v):
                 return jnp.einsum("nab,nb->na", blocks_inv, v) * opt
