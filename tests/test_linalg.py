@@ -5,8 +5,8 @@ TPU's LuDecompositionBlock custom-call on the PGO hot path."""
 import numpy as np
 import jax.numpy as jnp
 
-from vista_slam_tpu.ops.linalg import (blocked_cholesky, cramer_solve3,
-                                       gauss_jordan_inv)
+from vista_slam_tpu.ops.linalg import (adjugate_inv3, blocked_cholesky,
+                                       cramer_solve3, gauss_jordan_inv)
 
 
 def _spd(n, cond=1e4, seed=0):
@@ -146,6 +146,20 @@ def test_cramer_solve3_matches_numpy():
     x = np.asarray(cramer_solve3(jnp.asarray(a, jnp.float32),
                                  jnp.asarray(b, jnp.float32)))
     np.testing.assert_allclose(x, x_ref, rtol=2e-3, atol=2e-4)
+
+
+def test_adjugate_inv3_matches_numpy():
+    """General (non-symmetric) 3x3 inverse vs np.linalg.inv: calibration
+    K matrices, random well-conditioned batches, and arbitrary leading
+    batch dims."""
+    K = np.asarray([[40.0, 0, 16], [0, 44.0, 16], [0, 0, 1]], np.float32)
+    np.testing.assert_allclose(np.asarray(adjugate_inv3(jnp.asarray(K))),
+                               np.linalg.inv(K), rtol=1e-5, atol=1e-6)
+    rng = np.random.default_rng(8)
+    a = _batched_spd(60, 3, seed=8) + 0.5 * rng.standard_normal((60, 3, 3))
+    a = a.reshape(3, 20, 3, 3).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(adjugate_inv3(jnp.asarray(a))),
+                               np.linalg.inv(a), rtol=2e-3, atol=2e-4)
 
 
 def test_production_window_trace_stays_small():

@@ -10,7 +10,8 @@ from vista_slam_tpu.utils.consistency import (symmetric_geo_valid_mask,
 from vista_slam_tpu.utils.geometry import (depth_from_pointcloud,
                                            depth_to_pointcloud,
                                            estimate_intrinsics_batched,
-                                           estimate_intrinsics_shared)
+                                           estimate_intrinsics_shared,
+                                           inv_se3)
 from vista_slam_tpu.utils.profiling import StageTimer
 
 
@@ -45,6 +46,26 @@ def test_intrinsics_estimation_recovers_K():
     d_back = depth_from_pointcloud(pts, K)
     # ray-dot depth equals z-depth only along the optical axis; check center
     np.testing.assert_allclose(float(d_back[0, H // 2, W // 2]), 2.5, atol=1e-3)
+
+
+def test_inv_se3_matches_lu_inverse():
+    """Closed-form rigid inverse vs np.linalg.inv on random SE(3) poses
+    ([4,4] and batched [B,4,4]); it must also be an exact group inverse
+    (T @ inv(T) == I to fp32 roundoff)."""
+    rng = np.random.default_rng(7)
+    from vista_slam_tpu.ops import sim3 as js
+    xi = rng.standard_normal((6, 7)).astype(np.float32)
+    xi[:, 6] = 0.0  # rigid: zero log-scale
+    T = np.stack([hm.to_pose_matrix(np.asarray(js.exp(jnp.asarray(x))))
+                  for x in xi])
+    got = np.asarray(inv_se3(jnp.asarray(T)))
+    np.testing.assert_allclose(got, np.linalg.inv(T), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got @ T, np.broadcast_to(np.eye(4), T.shape),
+                               atol=1e-5)
+    # unbatched [4,4]
+    got1 = np.asarray(inv_se3(jnp.asarray(T[0])))
+    np.testing.assert_allclose(got1, np.linalg.inv(T[0]), rtol=1e-5,
+                               atol=1e-5)
 
 
 def test_symmetric_geo_valid_mask_flags_outliers():

@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.linalg import adjugate_inv3
 from ..utils.image_ops import resize_bilinear
 
 
@@ -201,7 +202,11 @@ def svd_orthogonalize_stable(m: jnp.ndarray, n_iter: int = 100) -> jnp.ndarray:
     o = m / (jnp.linalg.norm(m, axis=(-2, -1), keepdims=True) + 1e-8)
 
     def body(_, o):
-        return 0.5 * (o + jnp.linalg.inv(jnp.swapaxes(o, -1, -2)))
+        # adjugate inverse instead of jnp.linalg.inv: the batched LU is a
+        # serial LuDecompositionBlock custom-call PER Newton iteration
+        # (x100); the adjugate is exact 3x3 algebra with the identical
+        # degenerate-input contract (det==0 -> non-finite)
+        return 0.5 * (o + adjugate_inv3(jnp.swapaxes(o, -1, -2)))
 
     o = jax.lax.fori_loop(0, n_iter, body, o.astype(jnp.float32))
     det = jnp.linalg.det(o)

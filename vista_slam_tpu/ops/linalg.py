@@ -112,6 +112,33 @@ def cramer_solve3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x0, x1, x2], axis=-1)
 
 
+def adjugate_inv3(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse of general 3x3 matrices ([..., 3, 3]) via the
+    adjugate — the matrix form of `cramer_solve3`, same rationale: a
+    batched `jnp.linalg.inv` lowers to TPU's serial `LuDecompositionBlock`
+    custom-call, while the adjugate is ~30 fused elementwise ops. Exact
+    algebra; a singular A yields inf/NaN exactly like the LU path would
+    (callers relying on that failure mode, e.g. the Newton pose-head
+    variant's pinned degenerate-input contract, keep it)."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c10 + a02 * c20
+    adj = jnp.stack([jnp.stack([c00, c01, c02], axis=-1),
+                     jnp.stack([c10, c11, c12], axis=-1),
+                     jnp.stack([c20, c21, c22], axis=-1)], axis=-2)
+    return adj / det[..., None, None]
+
+
 def blocked_cholesky(H: jnp.ndarray, panel: int = 512,
                      update_precision: str = "default") -> jnp.ndarray:
     """Lower-triangular Cholesky factor of a symmetric PD matrix.

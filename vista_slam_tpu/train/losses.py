@@ -24,6 +24,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.geometry import inv_se3
+
 
 def masked_mean(x, mask, axis=None, eps=1e-8):
     mask = mask.astype(x.dtype)
@@ -84,7 +86,10 @@ def rel_pose_loss(gt_main, gt_supp, pred_main, pred_supp, w_rot=1.0,
     f_gt = joint_norm_factor(gt_main["pts3d_cam"], gt_supp["pts3d_cam"], vm, vs)
     f_pr = joint_norm_factor(pred_main["pts3d"], pred_supp["pts3d"], vm, vs)
 
-    gt_rel = jnp.linalg.inv(gt_supp["camera_pose"]) @ gt_main["camera_pose"]
+    # closed-form rigid inverse: GT camera poses are SE(3), and the batched
+    # jnp.linalg.inv would put a LuDecompositionBlock custom-call in every
+    # train step (see utils/geometry.inv_se3)
+    gt_rel = inv_se3(gt_supp["camera_pose"]) @ gt_main["camera_pose"]
     gt_rot = gt_rel[:, :3, :3]
     gt_trans = gt_rel[:, :3, 3] / f_gt[:, None]
 
@@ -194,7 +199,7 @@ def gt_correspondence(gt_src, gt_tgt, depth_tol=0.05) -> Correspondence:
     grid + visibility mask (reference: losses_geo.py:18-63)."""
     src_pts = gt_src["pts3d_cam"]
     B, H, W, _ = src_pts.shape
-    rel = jnp.linalg.inv(gt_tgt["camera_pose"]) @ gt_src["camera_pose"]
+    rel = inv_se3(gt_tgt["camera_pose"]) @ gt_src["camera_pose"]
     pts = src_pts.reshape(B, -1, 3) @ jnp.swapaxes(rel[:, :3, :3], 1, 2) + rel[:, None, :3, 3]
     K = gt_tgt["camera_intrinsics"]
     proj = pts @ jnp.swapaxes(K, 1, 2)

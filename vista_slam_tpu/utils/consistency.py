@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.linalg import adjugate_inv3
+from .geometry import inv_se3
 from .image_ops import pixel_grid
 
 
@@ -38,7 +40,7 @@ def symmetric_geo_valid_mask(depths: jnp.ndarray, K: jnp.ndarray,
     (2x median error) thresholds (reference: slam_utils.py:269-343)."""
     H, W = depths.shape[1:]
     pix = pixel_grid(H, W, depths.dtype).reshape(-1, 3)
-    rays = pix @ jnp.linalg.inv(K).T
+    rays = pix @ adjugate_inv3(K).T
 
     def one_direction(depth_src, depth_tgt, T):
         pts = rays * depth_src.reshape(-1, 1)
@@ -54,7 +56,7 @@ def symmetric_geo_valid_mask(depths: jnp.ndarray, K: jnp.ndarray,
         return (err < thres) & valid
 
     m1 = one_direction(depths[0], depths[1], relative_pose)
-    m2 = one_direction(depths[1], depths[0], jnp.linalg.inv(relative_pose))
+    m2 = one_direction(depths[1], depths[0], inv_se3(relative_pose))
     return jnp.stack([m1.reshape(H, W), m2.reshape(H, W)])
 
 
@@ -68,12 +70,12 @@ def view_consistency_count(depths: jnp.ndarray, intrinsics: jnp.ndarray,
     pix = pixel_grid(H, W, depths.dtype).reshape(-1, 3)
 
     def count_for(i):
-        K_inv = jnp.linalg.inv(intrinsics[i])
+        K_inv = adjugate_inv3(intrinsics[i])
         cam = (pix @ K_inv.T) * depths[i].reshape(-1, 1)
         world = cam @ poses[i, :3, :3].T + poses[i, :3, 3]
 
         def against(j):
-            Tj_inv = jnp.linalg.inv(poses[j])
+            Tj_inv = inv_se3(poses[j])
             cam_j = world @ Tj_inv[:3, :3].T + Tj_inv[:3, 3]
             uv, z = _project(cam_j, intrinsics[j])
             d_j, valid = _sample_nearest(depths[j], uv[..., 0], uv[..., 1])

@@ -10,12 +10,31 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.linalg import adjugate_inv3
 from .image_ops import pixel_grid
 
 
 def _safe_div(a, b):
     r = a / b
     return jnp.where(jnp.isfinite(r), r, 0.0)
+
+
+def inv_se3(T: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of rigid [..., 4, 4] transforms:
+    inv([R t; 0 1]) = [R^T -R^T t; 0 1].
+
+    Use instead of `jnp.linalg.inv` for camera poses: the batched LU
+    lowers to TPU's serial `LuDecompositionBlock` custom-call (the same
+    pathology ops/linalg.gauss_jordan_inv documents), while this is a
+    transpose + one matvec that fuses with its consumers — and it is
+    exactly orthogonality-preserving where LU only is to roundoff."""
+    R = T[..., :3, :3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    t = -jnp.einsum("...ij,...j->...i", Rt, T[..., :3, 3])
+    top = jnp.concatenate([Rt, t[..., :, None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], T.dtype), T.shape[:-2] + (1, 4))
+    return jnp.concatenate([top, bottom], axis=-2)
 
 
 def _weighted_focals(pts3d, conf, axis):
@@ -63,10 +82,12 @@ def estimate_intrinsics_batched(pts3d: jnp.ndarray, conf: jnp.ndarray) -> jnp.nd
 def _pixel_rays(K, n, h, w, dtype):
     """Per-pixel K^-1 rays [n, H, W, 3]; K is [3,3] shared or [n,3,3]."""
     pix = pixel_grid(h, w, dtype).reshape(-1, 3)  # [HW, 3]
+    # adjugate_inv3 instead of jnp.linalg.inv: no LuDecompositionBlock
+    # custom-call in the decode-adjacent unprojection programs
     if K.ndim == 2:
-        rays = pix @ jnp.linalg.inv(K).T
+        rays = pix @ adjugate_inv3(K).T
         return jnp.broadcast_to(rays.reshape(1, h, w, 3), (n, h, w, 3))
-    return jnp.einsum("nij,pj->npi", jnp.linalg.inv(K), pix).reshape(n, h, w, 3)
+    return jnp.einsum("nij,pj->npi", adjugate_inv3(K), pix).reshape(n, h, w, 3)
 
 
 def depth_to_pointcloud(depth: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
