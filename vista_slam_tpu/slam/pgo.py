@@ -59,20 +59,21 @@ class PGOConfig(NamedTuple):
     # Cholesky — the reference's solver shape (pypose LM + ppos.Cholesky,
     # slam.py:43,123-137). "pcg": matrix-free PCG, O(E + N) memory,
     # chain-preconditioned (pcg_precond below). "auto" (default): dense up
-    # to dense_max optimized nodes, pcg beyond. dense_max=2048 is the
-    # measured v5e crossover (paired ABBA, scripts/profile_pgo.py --ab,
-    # 2026-08-19): dense 800/1873 ms per 20-step solve at 1024/2048-node
-    # windows vs PCG's near-flat buffer-shaped cost (set by the padded
-    # buffer + CG trip count, not the window), but 12.78 s at the
-    # 4800-node full-graph window where PCG takes 0.90 s (-93%; 3.80 s
-    # before the precond_inv fix below) at the same final loss (0.02334
-    # vs 0.02329, within the oracle contract).
+    # to dense_max optimized nodes, pcg beyond. dense_max=1024 is the
+    # measured v5e crossover, RE-swept after the precond_inv fix cut the
+    # PCG solve ~4x (paired ABBA, scripts/profile_pgo.py --ab --solver
+    # pcg, 2026-08-19, fixed 4800/5200 buffers): dense 236/414 ms per
+    # solve at 512/1024-padded windows vs PCG 454/723 ms — dense still
+    # wins small windows — but at the 2048-padded window PCG 920 ms beats
+    # dense 1557 ms (-41%), and at the 4800 full graph 0.90 s vs 12.78 s
+    # (-93%), same final loss at every point (within the oracle
+    # contract, e.g. 0.009982 vs 0.009968 at 2000 real).
     # Accuracy is solver-independent since round 4: with the tridiag
     # preconditioner PCG matches the fp64 oracle on the very windows that
     # forced the dense default in round 3 (tests/test_pgo.py::
     # test_pcg_tridiag_matches_exact_on_production_padded_window).
     solver: str = "auto"
-    dense_max: int = 2048
+    dense_max: int = 1024
     # CG budget: the tolerance exit means the 128 cap rarely binds with
     # the tridiag preconditioner — 32/64-iter caps were A/B'd at the
     # full-graph window and refuted (9.6%/5.7% faster but the 32-iter
