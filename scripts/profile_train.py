@@ -60,6 +60,13 @@ def main():
     ap.add_argument("--head-bf16", action="store_true",
                     help="bf16 compute in the DPT head's conv pyramid "
                          "(cfg.head_bf16; fp32 params and fp32 output)")
+    ap.add_argument("--opt-state", default="fp32",
+                    choices=("fp32", "bf16", "int8", "bf16_fused",
+                             "int8_fused"),
+                    help="Adam moment storage (train/quantized_opt.py): "
+                         "fp32 = reference AdamW; bf16/int8 = compressed "
+                         "XLA carriers; *_fused = single-pass Pallas "
+                         "kernel (ops/pallas/adam8.py); same update math")
     ap.add_argument("--trace-dir", default=None,
                     help="also capture a jax.profiler trace of one timed "
                          "scan program here (op-level attribution of the "
@@ -107,12 +114,18 @@ def main():
     }
 
     loss_fn = make_loss_fn(model, S)
-    optimizer = make_optimizer(total_steps=10_000)
+    optimizer = make_optimizer(total_steps=10_000,
+                               state_dtype=args.opt_state)
     opt_state = optimizer.init(params)
+
+    fused = hasattr(optimizer, "step")
 
     def one_step(params, opt_state, batch):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch)
+        if fused:
+            params, opt_state = optimizer.step(params, grads, opt_state)
+            return params, opt_state, loss
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

@@ -1,0 +1,309 @@
+"""Compressed Adam moment state: bf16 and blockwise-int8 storage.
+
+The trace-backed training roofline (BASELINE.md "Training-step roofline
+AFTER the GELU fix") pins ~12.5% of the batch-8 step on memory-bound loop
+fusions, dominated by AdamW reading and writing its fp32 mu/nu state every
+step (~9 GB/step of HBM traffic at the 819 GB/s roofline). The reference
+trains the same AdamW(0.9, 0.95) in fp32 through torch DDP/AMP (reference:
+vista_slam/sta_model/train.py:403-404) and has the identical traffic; this
+module is the semantic change the roofline names as the only way past it.
+
+Two storage modes for the two Adam moments, swapped in by
+``make_optimizer(state_dtype=...)`` (train/step.py) with the update math,
+bias correction, weight-decay masking, and LR schedule unchanged:
+
+* ``bf16``  — mu and nu stored bfloat16 (round-to-nearest on store, fp32
+  update arithmetic). 2x less moment traffic and memory.
+* ``int8``  — blockwise linear quantization in the style of Dettmers et
+  al., "8-bit Optimizers via Block-wise Quantization" (see PAPERS.md):
+  each moment is flattened, padded, and split into 256-element blocks;
+  each block stores int8 codes plus one fp32 scale (max-abs / 127 for the
+  signed mu, max / 255 in the SQRT domain for the non-negative nu — the
+  sqrt halves nu's dynamic range so small-variance coordinates survive
+  quantization). 4x less moment traffic and memory; the per-step
+  re-quantization error acts as bounded noise on the moments (pinned by
+  tests/test_quantized_opt.py trajectory parity).
+
+Leaves smaller than ``min_quant_size`` elements (biases, norms) keep fp32
+moments — their traffic is negligible and small tensors are where
+quantization noise hurts (same rule as the 8-bit-optimizer paper).
+
+The state is a plain pytree (QMoment NamedTuples over int8/uint8 codes),
+so jit/scan/donation, pjit sharding, and the orbax template-based
+checkpoint round-trip (train/trainer.py:123-142) all work unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+BLOCK = 256
+MIN_QUANT_SIZE = 2048
+
+
+class QMoment(NamedTuple):
+    """One blockwise-quantized moment: codes [nb, BLOCK] + scales [nb, 1]."""
+    q: jnp.ndarray
+    scale: jnp.ndarray
+
+
+class ScaleByAdamQState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def _blocked(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    flat = x.reshape(-1).astype(jnp.float32)
+    pad = (-flat.size) % block
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.float32)])
+    return flat.reshape(-1, block)
+
+
+def _unblocked(xb: jnp.ndarray, shape) -> jnp.ndarray:
+    n = 1
+    for s in shape:
+        n *= s
+    return xb.reshape(-1)[:n].reshape(shape)
+
+
+def _quant_signed(x: jnp.ndarray, block: int) -> QMoment:
+    xb = _blocked(x, block)
+    scale = jnp.maximum(jnp.max(jnp.abs(xb), axis=1, keepdims=True) / 127.0,
+                        1e-12)
+    q = jnp.round(xb / scale).astype(jnp.int8)
+    return QMoment(q, scale)
+
+
+def _dequant_signed(m: QMoment, shape) -> jnp.ndarray:
+    return _unblocked(m.q.astype(jnp.float32) * m.scale, shape)
+
+
+def _quant_sqrt(x: jnp.ndarray, block: int) -> QMoment:
+    """Non-negative moment, quantized in the sqrt domain (uint8 codes)."""
+    sb = jnp.sqrt(_blocked(x, block))
+    scale = jnp.maximum(jnp.max(sb, axis=1, keepdims=True) / 255.0, 1e-12)
+    q = jnp.round(sb / scale).astype(jnp.uint8)
+    return QMoment(q, scale)
+
+
+def _dequant_sqrt(m: QMoment, shape) -> jnp.ndarray:
+    s = m.q.astype(jnp.float32) * m.scale
+    return _unblocked(s * s, shape)
+
+
+def scale_by_adam_q(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                    state_dtype: str = "int8", block: int = BLOCK,
+                    min_quant_size: int = MIN_QUANT_SIZE
+                    ) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with compressed moment storage.
+
+    Update arithmetic is fp32; only the carried state is bf16 or
+    blockwise-int8. Bias correction matches optax (mu_hat = mu/(1-b1^t)).
+    """
+    if state_dtype not in ("bf16", "int8"):
+        raise ValueError(f"state_dtype must be bf16|int8, got {state_dtype!r}")
+    quant = state_dtype == "int8"
+
+    def _compress(x, signed):
+        if x.size < min_quant_size:
+            return x.astype(jnp.float32)
+        if not quant:
+            return x.astype(jnp.bfloat16)
+        return _quant_signed(x, block) if signed else _quant_sqrt(x, block)
+
+    def _expand(m, shape, signed):
+        if isinstance(m, QMoment):
+            return (_dequant_signed(m, shape) if signed
+                    else _dequant_sqrt(m, shape))
+        return m.astype(jnp.float32)
+
+    def init_fn(params):
+        # mu and nu materialize their own zeros: _compress is an aliasing
+        # no-op for fp32-carried small leaves, and donated train states must
+        # not share buffers between the two moment trees
+        mu = jax.tree_util.tree_map(
+            lambda p: _compress(jnp.zeros(p.shape, jnp.float32), True), params)
+        nu = jax.tree_util.tree_map(
+            lambda p: _compress(jnp.zeros(p.shape, jnp.float32), False), params)
+        return ScaleByAdamQState(jnp.zeros((), jnp.int32), mu, nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        leaves_g, treedef = jax.tree_util.tree_flatten(updates)
+        leaves_mu = treedef.flatten_up_to(state.mu)
+        leaves_nu = treedef.flatten_up_to(state.nu)
+
+        out_u, out_mu, out_nu = [], [], []
+        for g, mu_s, nu_s in zip(leaves_g, leaves_mu, leaves_nu):
+            g32 = g.astype(jnp.float32)
+            mu = b1 * _expand(mu_s, g.shape, True) + (1.0 - b1) * g32
+            nu = b2 * _expand(nu_s, g.shape, False) + (1.0 - b2) * g32 * g32
+            u = (mu / c1) / (jnp.sqrt(nu / c2) + eps)
+            out_u.append(u.astype(g.dtype))
+            out_mu.append(_compress(mu, True))
+            out_nu.append(_compress(nu, False))
+
+        return (treedef.unflatten(out_u),
+                ScaleByAdamQState(count,
+                                  treedef.unflatten(out_mu),
+                                  treedef.unflatten(out_nu)))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adamw_q(learning_rate, b1: float = 0.9, b2: float = 0.999,
+            eps: float = 1e-8, weight_decay: float = 1e-4, mask=None,
+            state_dtype: str = "int8") -> optax.GradientTransformation:
+    """AdamW with compressed moments: the same chain optax.adamw builds
+    (scale_by_adam -> add_decayed_weights -> scale_by_learning_rate), with
+    only the moment storage swapped."""
+    return optax.chain(
+        scale_by_adam_q(b1=b1, b2=b2, eps=eps, state_dtype=state_dtype),
+        optax.add_decayed_weights(weight_decay, mask=mask),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused single-pass variant (Pallas kernel, ops/pallas/adam8.py)
+# ---------------------------------------------------------------------------
+#
+# The XLA transforms above compress the STATE but cost STEP TIME: blockwise
+# re-quantization needs per-block max reductions, which split the update
+# into several fusions that re-materialize the fp32 moments. The fused
+# applier below replaces the whole chain(clip, adamw, apply_updates) with
+# one Pallas kernel per large leaf — clip coefficient, moment update, bias
+# correction, weight decay, LR, and the parameter write all happen in one
+# pass over HBM. It is NOT an optax GradientTransformation (the kernel
+# writes the new params directly); make_train_step and the profiler detect
+# the `.step` attribute and skip optax.apply_updates.
+
+
+class FusedInt8Leaf(NamedTuple):
+    mu_q: jnp.ndarray   # int8 [C, QBLOCK]
+    mu_s: jnp.ndarray   # fp32 [C, 1]
+    nu_q: jnp.ndarray   # int8 [C, QBLOCK] (sqrt-domain codes)
+    nu_s: jnp.ndarray   # fp32 [C, 1]
+
+
+class FusedBf16Leaf(NamedTuple):
+    mu: jnp.ndarray     # bf16 [C, QBLOCK]
+    nu: jnp.ndarray     # bf16 [C, QBLOCK]
+
+
+class Fp32Leaf(NamedTuple):
+    mu: jnp.ndarray
+    nu: jnp.ndarray
+
+
+class FusedAdamWState(NamedTuple):
+    count: jnp.ndarray
+    moments: Any
+
+
+class FusedAdamW(NamedTuple):
+    """init(params) -> state; step(params, grads, state) ->
+    (new_params, new_state). lr follows schedule(count) exactly like
+    optax.scale_by_schedule; clip/bias-correction/weight-decay-mask match
+    the fp32 chain (tests/test_quantized_opt.py pins single-step parity)."""
+    init: Any
+    step: Any
+
+
+def _fused_eligible(p, min_quant_size: int) -> bool:
+    from ..ops.pallas.adam8 import QBLOCK
+
+    return p.size >= min_quant_size and p.size % QBLOCK == 0
+
+
+def make_fused_adamw(schedule, b1: float = 0.9, b2: float = 0.95,
+                     eps: float = 1e-8, weight_decay: float = 0.05,
+                     clip: float = 1.0, state_dtype: str = "int8_fused",
+                     min_quant_size: int = MIN_QUANT_SIZE,
+                     interpret: bool | None = None) -> FusedAdamW:
+    """Build the fused-kernel AdamW applier. ``state_dtype`` is
+    ``int8_fused`` or ``bf16_fused``. ``interpret=None`` auto-selects
+    Pallas interpret mode off-TPU (CI's virtual CPU mesh)."""
+    from ..ops.pallas.adam8 import (QBLOCK, fused_adamw_bf16,
+                                    fused_adamw_int8)
+
+    if state_dtype not in ("int8_fused", "bf16_fused"):
+        raise ValueError(f"state_dtype must be int8_fused|bf16_fused, "
+                         f"got {state_dtype!r}")
+    quant = state_dtype == "int8_fused"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def init_leaf(p):
+        if not _fused_eligible(p, min_quant_size):
+            return Fp32Leaf(jnp.zeros(p.shape, jnp.float32),
+                            jnp.zeros(p.shape, jnp.float32))
+        C = p.size // QBLOCK
+        if quant:
+            # zero codes dequantize to exactly 0 whatever the scales say
+            return FusedInt8Leaf(jnp.zeros((C, QBLOCK), jnp.int8),
+                                 jnp.full((C, 1), 1e-10 / 127.0, jnp.float32),
+                                 jnp.zeros((C, QBLOCK), jnp.int8),
+                                 jnp.full((C, 1), 1e-30, jnp.float32))
+        return FusedBf16Leaf(jnp.zeros((C, QBLOCK), jnp.bfloat16),
+                             jnp.zeros((C, QBLOCK), jnp.bfloat16))
+
+    def init(params):
+        return FusedAdamWState(jnp.zeros((), jnp.int32),
+                               jax.tree_util.tree_map(init_leaf, params))
+
+    def step(params, grads, state):
+        gnorm = optax.global_norm(grads)
+        coef = clip / jnp.maximum(gnorm, clip)   # = min(1, clip/||g||)
+        count = state.count
+        lr = schedule(count)                      # optax: schedule BEFORE inc
+        t = optax.safe_int32_increment(count).astype(jnp.float32)
+        c1 = 1.0 - b1 ** t
+        c2 = 1.0 - b2 ** t
+        scalars = jnp.stack([coef, lr, c1, c2]).astype(jnp.float32)
+
+        leaves_p, treedef = jax.tree_util.tree_flatten(params)
+        leaves_g = treedef.flatten_up_to(grads)
+        leaves_m = treedef.flatten_up_to(state.moments)
+
+        out_p, out_m = [], []
+        for p, g, m in zip(leaves_p, leaves_g, leaves_m):
+            wd = weight_decay if p.ndim > 1 else 0.0
+            if isinstance(m, FusedInt8Leaf):
+                p_new, mu_q, mu_s, nu_q, nu_s = fused_adamw_int8(
+                    p.reshape(-1).astype(jnp.float32), g.reshape(-1),
+                    m.mu_q, m.mu_s, m.nu_q, m.nu_s, scalars,
+                    b1=b1, b2=b2, eps=eps, wd=wd, interpret=interpret)
+                out_p.append(p_new.reshape(p.shape).astype(p.dtype))
+                out_m.append(FusedInt8Leaf(mu_q, mu_s, nu_q, nu_s))
+            elif isinstance(m, FusedBf16Leaf):
+                p_new, mu, nu = fused_adamw_bf16(
+                    p.reshape(-1).astype(jnp.float32), g.reshape(-1),
+                    m.mu, m.nu, scalars,
+                    b1=b1, b2=b2, eps=eps, wd=wd, interpret=interpret)
+                out_p.append(p_new.reshape(p.shape).astype(p.dtype))
+                out_m.append(FusedBf16Leaf(mu, nu))
+            else:  # fp32 fallback: identical math, plain XLA
+                g32 = g.astype(jnp.float32) * coef
+                mu = b1 * m.mu + (1.0 - b1) * g32
+                nu = b2 * m.nu + (1.0 - b2) * g32 * g32
+                u = (mu / c1) / (jnp.sqrt(nu / c2) + eps)
+                p32 = p.astype(jnp.float32)
+                out_p.append((p32 - lr * (u + wd * p32)).astype(p.dtype))
+                out_m.append(Fp32Leaf(mu, nu))
+
+        new_state = FusedAdamWState(optax.safe_int32_increment(count),
+                                    treedef.unflatten(out_m))
+        return treedef.unflatten(out_p), new_state
+
+    return FusedAdamW(init, step)

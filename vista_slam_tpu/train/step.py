@@ -30,22 +30,42 @@ class TrainState(NamedTuple):
 def make_optimizer(lr: float = 1e-4, warmup_steps: int = 1000,
                    total_steps: int = 100_000, min_lr: float = 1e-6,
                    weight_decay: float = 0.05, clip: float = 1.0,
-                   accum_iter: int = 1, freeze=None):
+                   accum_iter: int = 1, freeze=None,
+                   state_dtype: str = "fp32"):
     """AdamW(betas=0.9/0.95) + per-iteration cosine schedule with warmup +
     global-norm clip (reference: train.py:403-404, croco_misc.py:454-469,
     clip at train.py:293). ``accum_iter`` enables gradient accumulation
     (reference: train.py:142-143,292-297); ``freeze`` is an optional
     predicate(path_names) -> bool marking frozen parameters (reference
-    set_freeze, sta_model.py:148-161)."""
+    set_freeze, sta_model.py:148-161). ``state_dtype`` selects the Adam
+    moment storage: fp32 (the reference's), or the compressed bf16 /
+    blockwise-int8 carriers (train/quantized_opt.py) — update math and
+    schedule identical."""
     warmup_steps = min(warmup_steps, max(total_steps // 10, 1))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=lr, warmup_steps=warmup_steps,
         decay_steps=total_steps, end_value=min_lr)
-    tx = optax.chain(
-        optax.clip_by_global_norm(clip),
-        optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=weight_decay,
-                    mask=lambda p: jax.tree_util.tree_map(lambda x: x.ndim > 1, p)),
-    )
+    if state_dtype.endswith("_fused"):
+        if accum_iter > 1 or freeze is not None:
+            raise ValueError("the fused optimizer kernel does not compose "
+                             "with accum_iter/freeze; use state_dtype="
+                             "'int8'/'bf16' (XLA carriers) for those")
+        from .quantized_opt import make_fused_adamw
+
+        return make_fused_adamw(schedule, b1=0.9, b2=0.95,
+                                weight_decay=weight_decay, clip=clip,
+                                state_dtype=state_dtype)
+    decay_mask = lambda p: jax.tree_util.tree_map(lambda x: x.ndim > 1, p)
+    if state_dtype == "fp32":
+        adam = optax.adamw(schedule, b1=0.9, b2=0.95,
+                           weight_decay=weight_decay, mask=decay_mask)
+    else:
+        from .quantized_opt import adamw_q
+
+        adam = adamw_q(schedule, b1=0.9, b2=0.95,
+                       weight_decay=weight_decay, mask=decay_mask,
+                       state_dtype=state_dtype)
+    tx = optax.chain(optax.clip_by_global_norm(clip), adam)
     if freeze is not None:
         def label(params):
             return jax.tree_util.tree_map_with_path(
@@ -104,17 +124,30 @@ def make_train_step(model: STA, optimizer, mesh, n_support: int):
     alpha as a traced scalar (reference schedule: train.py:466-468), so the
     per-epoch schedule changes values without recompiling."""
     loss_fn = make_loss_fn(model, n_support)
+    if hasattr(optimizer, "step") and mesh.shape.get("tp", 1) > 1:
+        raise ValueError(
+            "fused optimizer kernels need replicated params (the per-leaf "
+            "Pallas call cannot be partitioned over tp-sharded leaves); use "
+            "a dp-only mesh — the reference's own DDP layout — or "
+            "state_dtype='int8'/'bf16'")
 
     def init_fn(params):
         shardings = param_shardings(params, mesh)
         params = jax.device_put(params, shardings)
         return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
+    fused = hasattr(optimizer, "step")  # FusedAdamW (quantized_opt.py)
+
     def step_fn(state: TrainState, batch, conf_alpha=0.4):
         (loss, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, conf_alpha)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if fused:
+            params, opt_state = optimizer.step(state.params, grads,
+                                               state.opt_state)
+        else:
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss, details
 
     data_shard = batch_sharding(mesh)

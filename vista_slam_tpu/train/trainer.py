@@ -49,6 +49,9 @@ class TrainConfig:
     neighbor_num: int = 1
     loop_num: int = 1
     alpha_c2f: bool = True  # coarse-to-fine conf alpha
+    opt_state_dtype: str = "fp32"  # Adam moment storage: fp32|bf16|int8
+    #   (bf16/int8 = compressed carriers, train/quantized_opt.py; update
+    #   math identical — measured A/B in BASELINE.md "Optimizer state")
     alpha_init: float = 0.4
     seed: int = 0
     save_freq: int = 1
@@ -89,7 +92,8 @@ class Trainer:
         self.optimizer = make_optimizer(
             lr=cfg.lr, warmup_steps=cfg.warmup_epochs * steps,
             total_steps=total_steps, min_lr=cfg.min_lr,
-            weight_decay=cfg.weight_decay, clip=cfg.clip)
+            weight_decay=cfg.weight_decay, clip=cfg.clip,
+            state_dtype=cfg.opt_state_dtype)
         self.init_fn, self.jit_step, self.shard_batch = make_train_step(
             self.model, self.optimizer, self.mesh, cfg.n_support)
         self.eval_loss_fn = jax.jit(make_loss_fn(self.model, cfg.n_support))
