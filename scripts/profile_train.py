@@ -67,6 +67,11 @@ def main():
                          "fp32 = reference AdamW; bf16/int8 = compressed "
                          "XLA carriers; *_fused = single-pass Pallas "
                          "kernel (ops/pallas/adam8.py); same update math")
+    ap.add_argument("--save-losses", default=None,
+                    help="save the timed scan's per-step loss sequence to "
+                         "this .npy (trajectory-identity evidence across "
+                         "--opt-state arms: same data + seed -> comparable "
+                         "loss curves)")
     ap.add_argument("--trace-dir", default=None,
                     help="also capture a jax.profiler trace of one timed "
                          "scan program here (op-level attribution of the "
@@ -172,6 +177,11 @@ def main():
     jax.block_until_ready(losses)
     print(f"first run: {time.time() - t0:.1f}s, "
           f"losses {np.asarray(losses)[:3].round(3)}...", flush=True)
+
+    if args.save_losses:
+        np.save(args.save_losses, np.asarray(losses))
+        print(f"saved {K}-step loss trajectory (steps 1-{K} from init) "
+              f"to {args.save_losses}", flush=True)
 
     t0 = time.time()
     params, opt_state, losses = compiled(params, opt_state, batch)

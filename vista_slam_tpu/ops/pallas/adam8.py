@@ -47,7 +47,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QBLOCK = 1024        # quantization block = one row of the [C, QBLOCK] view
-ROWS_PER_STEP = 512  # rows per grid step (~2 MB fp32 per streamed array)
+# rows per grid step (1 MB fp32 per streamed array). 512 rows overflow the
+# 16 MB scoped-VMEM stack on real Mosaic once the double-buffered in/out
+# tiles are summed (measured on v5e: bf16 kernel 16.10M > 16M limit); 256
+# compiles with headroom and the kernel is HBM-streaming, so smaller tiles
+# pipeline at the same bandwidth.
+ROWS_PER_STEP = 256
 
 # nu is quantized GEOMETRICALLY: code c in [1,127] maps to
 # scale * exp((c-127) * NU_LOG_RANGE / 126), code 0 maps to exactly 0.
