@@ -25,7 +25,7 @@ def tiny_cfg():
                      compute_dtype=jnp.float32)
 
 
-def make_batch(cfg):
+def make_batch(cfg, b: int = B):
     H, W = cfg.img_size
     rng = np.random.default_rng(42)
 
@@ -44,26 +44,32 @@ def make_batch(cfg):
         }
 
     return {
-        "main": dict(gt((B,)), img=rng.standard_normal(
-            (B, H, W, 3)).astype(np.float32)),
-        "supports": gt((S, B)),
-        "support_imgs": rng.standard_normal((S, B, H, W, 3)).astype(np.float32),
+        "main": dict(gt((b,)), img=rng.standard_normal(
+            (b, H, W, 3)).astype(np.float32)),
+        "supports": gt((S, b)),
+        "support_imgs": rng.standard_normal((S, b, H, W, 3)).astype(np.float32),
     }
 
 
-def run_one_step(mesh) -> float:
-    """Init (seed-deterministic) params, run ONE optimizer step over the
-    given mesh, return the (globally reduced) loss."""
+def run_one_step(mesh, state_dtype: str = "fp32",
+                 n_steps: int = 1) -> float:
+    """Init (seed-deterministic) params, run ``n_steps`` optimizer steps over
+    the given mesh, return the last (globally reduced) loss. ``state_dtype``
+    selects the Adam moment storage (fp32 | bf16 | int8 | *_fused) so the
+    DCN test can pin the compressed-state path too. The global batch is
+    sized to the mesh's dp extent (min B) so dp-only meshes stay legal."""
     from vista_slam_tpu.models.sta import STA, init_params_host
     from vista_slam_tpu.train.step import (make_optimizer, make_train_step)
 
     cfg = tiny_cfg()
     model, params = init_params_host(cfg, seed=0)
-    optimizer = make_optimizer(total_steps=100)
+    optimizer = make_optimizer(total_steps=100, state_dtype=state_dtype)
     init_fn, jit_step, shard_batch = make_train_step(model, optimizer, mesh,
                                                      n_support=S)
-    batch = shard_batch(make_batch(cfg))
+    dp = mesh.shape["dp"]
+    batch = shard_batch(make_batch(cfg, b=max(B, dp)))
     with mesh:
         state = init_fn(params)
-        state, loss, _ = jit_step(state, batch, 0.4)
+        for _ in range(n_steps):
+            state, loss, _ = jit_step(state, batch, 0.4)
     return float(loss)

@@ -102,30 +102,21 @@ from vista_slam_tpu.parallel.mesh import make_mesh
 from dist_train_common import run_one_step
 
 expected = float(sys.argv[1])
+state_dtype = sys.argv[2]
+tp = int(sys.argv[3])
+n_steps = int(sys.argv[4])
 info = init_distributed()
 assert info["process_count"] == 2, info
 assert info["global_devices"] == 8, info
-mesh = make_mesh(8, tp=2)  # global (dp=4, tp=2) spanning both processes
-loss = run_one_step(mesh)
+mesh = make_mesh(8, tp=tp)  # global mesh spanning both processes
+loss = run_one_step(mesh, state_dtype=state_dtype, n_steps=n_steps)
 rel = abs(loss - expected) / max(abs(expected), 1e-12)
 assert rel < 1e-5, (loss, expected, rel)
 print(f"TRAIN_STEP_OK process={jax.process_index()} loss={loss}")
 """
 
 
-def test_two_process_sharded_train_step(tmp_path):
-    """One REAL gradient-synchronized training step across two processes
-    (4 virtual CPU devices each, global (dp=4, tp=2) mesh) must produce the
-    same loss as the single-process 8-device run — the DCN path executing
-    the actual training program, not just init (the reference's DDP
-    contract: croco_misc.py:227-248 + allreduce train.py:398-400)."""
-    from vista_slam_tpu.parallel.mesh import make_mesh
-
-    from dist_train_common import run_one_step
-
-    expected = run_one_step(make_mesh(8, tp=2))
-    assert np.isfinite(expected)
-
+def _run_train_children(tmp_path, expected, state_dtype, tp, n_steps):
     port = _free_port()
     script = tmp_path / "train_child.py"
     script.write_text(TRAIN_CHILD)
@@ -141,7 +132,8 @@ def test_two_process_sharded_train_step(tmp_path):
             "PYTHONPATH": f"{REPO}:{os.path.join(REPO, 'tests')}",
         })
         procs.append(subprocess.Popen(
-            [sys.executable, str(script), repr(expected)], env=env, cwd=REPO,
+            [sys.executable, str(script), repr(expected), state_dtype,
+             str(tp), str(n_steps)], env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = []
     for p in procs:
@@ -155,3 +147,34 @@ def test_two_process_sharded_train_step(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
         assert f"TRAIN_STEP_OK process={pid}" in out, out[-2000:]
+
+
+def test_two_process_sharded_train_step(tmp_path):
+    """One REAL gradient-synchronized training step across two processes
+    (4 virtual CPU devices each, global (dp=4, tp=2) mesh) must produce the
+    same loss as the single-process 8-device run — the DCN path executing
+    the actual training program, not just init (the reference's DDP
+    contract: croco_misc.py:227-248 + allreduce train.py:398-400)."""
+    from vista_slam_tpu.parallel.mesh import make_mesh
+
+    from dist_train_common import run_one_step
+
+    expected = run_one_step(make_mesh(8, tp=2))
+    assert np.isfinite(expected)
+    _run_train_children(tmp_path, expected, "fp32", tp=2, n_steps=1)
+
+
+def test_two_process_train_step_fused_int8(tmp_path):
+    """TWO gradient-synchronized steps with the fused int8 optimizer state
+    across two processes (dp-only global mesh — the reference's DDP layout,
+    the only one the fused kernel accepts) must match the single-process
+    8-device loss: compressed moments survive the DCN round and the
+    second step consumes quantized state produced by the first."""
+    from vista_slam_tpu.parallel.mesh import make_mesh
+
+    from dist_train_common import run_one_step
+
+    expected = run_one_step(make_mesh(8, tp=1), state_dtype="int8_fused",
+                            n_steps=2)
+    assert np.isfinite(expected)
+    _run_train_children(tmp_path, expected, "int8_fused", tp=1, n_steps=2)

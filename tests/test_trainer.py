@@ -9,23 +9,26 @@ cv2 = pytest.importorskip("cv2")
 from test_train_data import scannet_root  # noqa: F401  (fixture reuse)
 
 
-def make_trainer(scannet_root, tmp_path, epochs=2):
+def make_trainer(scannet_root, tmp_path, epochs=2, tp=None, ds_mult=4,
+                 **cfg_overrides):
     from vista_slam_tpu.parallel.mesh import make_mesh
     from vista_slam_tpu.train.trainer import TrainConfig, Trainer
 
     data_root, vg_root = scannet_root
-    spec = (f"4 @ ScanNet(sensor_data_root='{data_root}', "
+    spec = (f"{ds_mult} @ ScanNet(sensor_data_root='{data_root}', "
             f"view_graph_root='{vg_root}', resolution=(32, 32), "
             f"neighbor_range=4, neighbor_num=1, loop_num=1, "
             f"num_sample_per_scene=2)")
-    cfg = TrainConfig(
+    kwargs = dict(
         train_dataset=spec, test_dataset=spec,
         output_dir=str(tmp_path / "train_out"), batch_size=2, epochs=epochs,
         neighbor_num=1, loop_num=1, warmup_epochs=1,
         model=dict(img_size=(32, 32), patch_size=16, enc_dim=32, enc_depth=1,
                    enc_heads=2, dec_dim=32, dec_depth=4, dec_heads=2,
                    mlp_ratio=2))
-    return Trainer(cfg, mesh=make_mesh(8))
+    kwargs.update(cfg_overrides)
+    cfg = TrainConfig(**kwargs)
+    return Trainer(cfg, mesh=make_mesh(8, tp=tp))
 
 
 def test_trainer_fit_and_resume(scannet_root, tmp_path):  # noqa: F811
@@ -43,6 +46,46 @@ def test_trainer_fit_and_resume(scannet_root, tmp_path):  # noqa: F811
     assert trainer2.start_epoch >= 1
     np.testing.assert_allclose(
         np.asarray(trainer2.state.step), np.asarray(state.step))
+
+
+def test_trainer_fused_opt_resume(scannet_root, tmp_path):  # noqa: F811
+    """orbax round-trip of FusedAdamWState through Trainer.fit + resume:
+    the template-based restore (trainer.restore_checkpoint) must reproduce
+    the int8/fp32-mixed moment pytree bit-exactly, and the resumed trainer
+    must be able to keep stepping through the fused kernel."""
+    import jax
+
+    from vista_slam_tpu.train.quantized_opt import FusedInt8Leaf
+
+    # tp=1 (the fused kernel's dp-only requirement) makes dp=8, so the
+    # global batch must be divisible by 8
+    trainer = make_trainer(scannet_root, tmp_path, epochs=2, tp=1,
+                           opt_state_dtype="int8_fused", batch_size=8, ds_mult=16)
+    trainer.init_state(resume=False)
+    state = trainer.fit()
+    assert int(state.step) > 0
+    # the checkpointed state must actually contain quantized leaves
+    # (otherwise this test exercises only the fp32 fallback path)
+    n_quant = sum(isinstance(leaf, FusedInt8Leaf) for leaf in
+                  jax.tree_util.tree_leaves(
+                      state.opt_state.moments,
+                      is_leaf=lambda x: isinstance(x, FusedInt8Leaf)))
+    assert n_quant > 0
+
+    trainer2 = make_trainer(scannet_root, tmp_path, epochs=2, tp=1,
+                            opt_state_dtype="int8_fused", batch_size=8, ds_mult=16)
+    trainer2.init_state(resume=True)
+    assert trainer2.start_epoch >= 1
+    # bit-exact moment restore, including int8 codes and fp32 scales
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(trainer2.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored state steps (fused kernel path, interpret on CPU)
+    import dataclasses
+
+    trainer2.cfg = dataclasses.replace(trainer2.cfg, epochs=3)
+    stats = trainer2.train_one_epoch(2)
+    assert np.isfinite(stats["loss"])
 
 
 def test_smoothed_value_and_metric_logger():

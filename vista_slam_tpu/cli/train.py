@@ -11,6 +11,12 @@ registry syntax, e.g.:
                     split='train', resolution=(224, 224), neighbor_num=1, loop_num=1)
 (reference CLI: train.py + sta_model/train.py:68-175, with eval()-based specs
 replaced by a safe parser.)
+
+Optimizer-state compression: `opt_state_dtype: fp32|bf16|int8|bf16_fused|
+int8_fused` selects the Adam moment storage (train/quantized_opt.py). The
+*_fused modes run the single-pass Pallas kernel and require a dp-only mesh;
+they reject gradient accumulation and parameter freezing at construction
+time with a ValueError naming the fallback (use bf16/int8 there).
 """
 
 from __future__ import annotations

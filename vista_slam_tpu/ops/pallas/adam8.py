@@ -4,10 +4,15 @@ The trace-backed training roofline (BASELINE.md) attributes ~12.5% of the
 batch-8 train step to memory-bound loop fusions, dominated by AdamW's fp32
 state traffic: the XLA chain reads g/mu/nu/p and writes mu/nu/p in fp32
 (~32 B/param/step of HBM at the 819 GB/s roofline). Storing the moments
-compressed helps memory but NOT time under XLA: blockwise re-quantization
-needs a per-block max *reduction*, which splits the update into several
-fusions that re-materialize the fp32 moments (measured: the XLA int8 path
-is 9 ms SLOWER per step than fp32 — BASELINE.md "Optimizer state").
+compressed helps memory but NOT time under XLA when re-quantization needs
+a per-block max *reduction*: that splits the update into several fusions
+that re-materialize the fp32 moments (measured: the XLA int8 path is 7 ms
+SLOWER per step than fp32, 130 vs 123 ms — BASELINE.md "Optimizer state").
+The same sweep measured this kernel's int8 mode at 122-127 ms (the reduction
+splits removed) and the PLAIN-XLA bf16 carrier at 118 ms — a dtype cast
+needs no reduction, so XLA already fuses it single-pass. Verdict: bf16 is
+the throughput default; this kernel's int8 mode is the memory knob (moment
+state at the 2.65 GB floor at ~fp32 speed).
 
 This kernel is the single-pass formulation XLA cannot produce: one grid
 step streams a row-tile of (g, p, moment state) through VMEM and performs

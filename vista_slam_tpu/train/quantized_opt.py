@@ -31,6 +31,12 @@ quantization noise hurts (same rule as the 8-bit-optimizer paper).
 The state is a plain pytree (QMoment NamedTuples over int8/uint8 codes),
 so jit/scan/donation, pjit sharding, and the orbax template-based
 checkpoint round-trip (train/trainer.py:123-142) all work unchanged.
+
+Hardware verdict (round-5 paired ABBA, BASELINE.md "Optimizer state"):
+bf16 is the default — 118 ms/step vs fp32's 123 at batch 8, −1.75 GB of
+state, ≤0.9% loss drift over 50 full-size steps. XLA-int8 pays +7 ms for
+the re-quantization reduction splits; the fused kernel (ops/pallas/adam8.py)
+removes those and is the memory knob (int8-size state at ~fp32 speed).
 """
 
 from __future__ import annotations

@@ -49,9 +49,16 @@ class TrainConfig:
     neighbor_num: int = 1
     loop_num: int = 1
     alpha_c2f: bool = True  # coarse-to-fine conf alpha
-    opt_state_dtype: str = "fp32"  # Adam moment storage: fp32|bf16|int8
-    #   (bf16/int8 = compressed carriers, train/quantized_opt.py; update
-    #   math identical — measured A/B in BASELINE.md "Optimizer state")
+    opt_state_dtype: str = "bf16"
+    #   Adam moment storage: fp32 | bf16 | int8 | bf16_fused | int8_fused.
+    #   bf16/int8 are compressed XLA carriers, *_fused the single-pass
+    #   Pallas applier (train/quantized_opt.py; update math identical).
+    #   Defaults settled by the round-5 paired ABBA (BASELINE.md "Optimizer
+    #   state"): bf16 = 118 ms/step vs fp32's 123 at batch 8, −1.75 GB
+    #   state, ≤0.9% loss drift over 50 full-size steps; int8_fused is the
+    #   memory floor (2.65 GB args at ~fp32 speed). The fused modes need a
+    #   dp-only mesh and do not compose with accum_iter/freeze
+    #   (make_optimizer/make_train_step raise with the same wording).
     alpha_init: float = 0.4
     seed: int = 0
     save_freq: int = 1
