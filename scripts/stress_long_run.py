@@ -129,6 +129,10 @@ def main():
     td = slam.get_time_dict()
     print(f"\n{n} keyframes in {wall:.1f}s ({n / wall:.2f} kf/s end-to-end)")
     print(f"stage timing: { {k: round(v, 1) for k, v in td.items()} }")
+    print(f"host syncs: {engine.fetch_count} blocking fetches "
+          f"({engine.fetch_count / n:.2f}/kf), "
+          f"{engine.fetch_arrays} array transfers "
+          f"({engine.fetch_arrays / n:.2f}/kf)")
     print(f"graph: {g.num_nodes}/{g.max_nodes} nodes, "
           f"{g.num_edges}/{g.max_edges} edges, {loop_edges} loop edges")
     traj = np.stack([slam.get_view(v, filter_outlier=False)["pose"]

@@ -37,6 +37,44 @@ def _bucket(n: int) -> int:
     raise ValueError(f"pair batch {n} exceeds the largest bucket {_BUCKETS[-1]}")
 
 
+# Per-pair host outputs of the fused edge step, in packing order. Through a
+# high-RTT link (the dev relay) a device_get of a dict pays one round trip
+# PER LEAF; packing everything into ONE flat fp32 vector on device makes the
+# per-keyframe synchronization a single small transfer. (The reference has no
+# analog: it fetches per-pair tensors one at a time inside its serial edge
+# loop, vista_slam/slam.py:163-189.)
+_HOST_SPEC = (("pose_ij", 16), ("pose_conf_ij", 1), ("pose_ji", 16),
+              ("pose_conf_ji", 1), ("mean_conf_i", 1), ("mean_conf_j", 1),
+              ("K", 9))
+_HOST_SHAPES = {"pose_ij": (4, 4), "pose_ji": (4, 4), "K": (3, 3)}
+_PAIR_FLOATS = sum(w for _, w in _HOST_SPEC)  # 45
+
+
+def _pack_host(host: dict, b: int) -> "jnp.ndarray":
+    """[b*_PAIR_FLOATS + 2*j_max] fp32 vector: per-pair block, then the
+    scale/scale_conf job rows. Device-side; inverse of _unpack_host."""
+    pair = jnp.concatenate(
+        [host[k].reshape(b, w).astype(jnp.float32) for k, w in _HOST_SPEC],
+        axis=1).reshape(-1)
+    return jnp.concatenate(
+        [pair, host["scale"].astype(jnp.float32),
+         host["scale_conf"].astype(jnp.float32)])
+
+
+def _unpack_host(flat: np.ndarray, b: int) -> dict:
+    pair = flat[: b * _PAIR_FLOATS].reshape(b, _PAIR_FLOATS)
+    out, off = {}, 0
+    for k, w in _HOST_SPEC:
+        col = pair[:, off: off + w]
+        out[k] = (col.reshape((b,) + _HOST_SHAPES[k])
+                  if k in _HOST_SHAPES else col.reshape(b))
+        off += w
+    rest = flat[b * _PAIR_FLOATS:]
+    j_max = rest.shape[0] // 2
+    out["scale"], out["scale_conf"] = rest[:j_max], rest[j_max:]
+    return out
+
+
 @dataclass
 class FrontendEngine:
     """Owns the model params and the jitted encode / pair-decode programs.
@@ -135,10 +173,13 @@ class FrontendEngine:
             """Fused per-keyframe edge step: decode + pointmap-store scatter
             + speculative scale reductions in ONE program (one dispatch, one
             fetch). node_idx [2b]: store slots in (n_i(k), n_j(k)) pair
-            order; jobs: padded (new, first) slot pairs."""
-            return decode_store_scales_body(params, f1, f2, depth_buf,
-                                            conf_buf, node_idx, job_new,
-                                            job_first)
+            order; jobs: padded (new, first) slot pairs. The small host
+            outputs leave as ONE packed fp32 vector (_pack_host) so the
+            per-keyframe sync is a single transfer."""
+            host, depth_buf, conf_buf = decode_store_scales_body(
+                params, f1, f2, depth_buf, conf_buf, node_idx, job_new,
+                job_first)
+            return _pack_host(host, f1.shape[0]), depth_buf, conf_buf
 
         def encode_decode_store_scales_fn(params, img, f2, depth_buf,
                                           conf_buf, node_idx, job_new,
@@ -150,13 +191,14 @@ class FrontendEngine:
             keyframe instead of encode + decode (the reference pays a
             separate serial encoder forward per keyframe,
             vista_slam/slam.py:144-151 then 263-277). Returns the fresh
-            token cache as the 4th output for the host-side feature cache."""
+            token cache as the 3rd output for the host-side feature cache."""
             feat = encode_fn(params, img)                       # [1, N, C]
             f1 = jnp.broadcast_to(feat, (f2.shape[0],) + feat.shape[1:])
             host, depth_buf, conf_buf = decode_store_scales_body(
                 params, f1, f2, depth_buf, conf_buf, node_idx, job_new,
                 job_first)
-            return host, depth_buf, conf_buf, feat.astype(self.cache_dtype)
+            return (_pack_host(host, f1.shape[0]), depth_buf, conf_buf,
+                    feat.astype(self.cache_dtype))
 
         self._encode = jax.jit(encode_fn)
         self._decode = jax.jit(decode_fn)
@@ -166,6 +208,12 @@ class FrontendEngine:
             encode_decode_store_scales_fn, donate_argnums=(3, 4))
         self.time_encode = 0.0
         self.time_decode = 0.0
+        # host-synchronization accounting (the offline-throughput lever):
+        # fetch_count = blocking device->host syncs, fetch_arrays = array
+        # leaves those syncs transferred (each leaf pays a round trip on
+        # high-RTT links)
+        self.fetch_count = 0
+        self.fetch_arrays = 0
 
     # ------------------------------------------------------------------
     def _bucket_for(self, n: int) -> int:
@@ -238,6 +286,8 @@ class FrontendEngine:
                                    self._put_batch(f2))
         if fetch:
             host = jax.device_get(host)
+            self.fetch_count += 1
+            self.fetch_arrays += len(host)
         out = {k: v[:n] for k, v in host.items()}
         out["depth_dev"] = dense["depth"]
         out["conf_dev"] = dense["conf"]
@@ -258,8 +308,12 @@ class FrontendEngine:
         jf[: len(jobs)] = [f for _, f in jobs]
         return jnp.asarray(idx), jnp.asarray(jn), jnp.asarray(jf)
 
-    @staticmethod
-    def _trim_fused(host, n: int, n_jobs: int) -> dict:
+    def _fetch_packed(self, packed, n: int, b: int, n_jobs: int) -> dict:
+        """ONE-array blocking fetch of the fused step's host outputs,
+        unpacked and trimmed to the true pair/job counts."""
+        host = _unpack_host(np.asarray(jax.device_get(packed)), b)
+        self.fetch_count += 1
+        self.fetch_arrays += 1
         return {k: (v[:n] if k not in ("scale", "scale_conf") else v[:n_jobs])
                 for k, v in host.items()}
 
@@ -280,10 +334,10 @@ class FrontendEngine:
         f2 = jnp.concatenate(feats_j + [feats_j[-1]] * pad, axis=0).astype(jnp.float32)
         idx, jn, jf = self._fused_paddings(n, b, store, node_idxs, jobs)
 
-        host, store.depth, store.conf = self._decode_store_scales(
+        packed, store.depth, store.conf = self._decode_store_scales(
             self.params, self._put_batch(f1), self._put_batch(f2),
             store.depth, store.conf, idx, jn, jf)
-        out = self._trim_fused(jax.device_get(host), n, len(jobs))
+        out = self._fetch_packed(packed, n, b, len(jobs))
         self.time_decode += time.time() - t0
         return out
 
@@ -301,10 +355,10 @@ class FrontendEngine:
         f2 = jnp.concatenate(feats_j + [feats_j[-1]] * pad, axis=0).astype(jnp.float32)
         idx, jn, jf = self._fused_paddings(n, b, store, node_idxs, jobs)
 
-        host, store.depth, store.conf, feat = self._encode_decode_store_scales(
+        packed, store.depth, store.conf, feat = self._encode_decode_store_scales(
             self.params, jnp.asarray(img_np, jnp.float32)[None],
             self._put_batch(f2), store.depth, store.conf, idx, jn, jf)
-        out = self._trim_fused(jax.device_get(host), n, len(jobs))
+        out = self._fetch_packed(packed, n, b, len(jobs))
         self.time_decode += time.time() - t0
         return out, feat
 
