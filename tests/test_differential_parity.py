@@ -46,10 +46,13 @@ def _build_vocab(images):
                             image_ids=np.concatenate(ids))
 
 
-def _make_sequence(n, img_hw):
-    """Textured frames; the last two views revisit the first textures so BoW
-    proposes genuine loop candidates."""
-    seeds = list(range(n - 2)) + [0, 1]
+def _make_sequence(n, img_hw, seeds=None):
+    """Textured frames; by default the last two views revisit the first
+    textures so BoW proposes genuine loop candidates. Pass ``seeds`` to
+    control the revisit pattern (repeated seed = revisited place)."""
+    if seeds is None:
+        seeds = list(range(n - 2)) + [0, 1]
+    assert len(seeds) == n
     grays = [make_textured_image(s) for s in seeds]
     h, w = img_hw
     rgbs = []
@@ -60,16 +63,20 @@ def _make_sequence(n, img_hw):
     return rgbs, grays
 
 
-def _run_slam(frontend, rgbs, grays, vocab, *, rel_pose_thres):
+def _run_slam(frontend, rgbs, grays, vocab, *, rel_pose_thres,
+              pgo_every=500, max_view_num=32):
     det = LoopDetector(vocab, loop_dist_min=5, loop_nms=1,
                        loop_cand_thresh_neighbor=3)
-    slam = OnlineSLAM(frontend, loop_detector=det, max_view_num=32,
+    slam = OnlineSLAM(frontend, loop_detector=det, max_view_num=max_view_num,
                       neighbor_edge_num=2, loop_edge_num=2,
-                      rel_pose_thres=rel_pose_thres, pgo_every=500)
+                      rel_pose_thres=rel_pose_thres, pgo_every=pgo_every)
     n = len(rgbs)
+    n_pgo = 0
     for t in range(n):
-        slam.step({"rgb": rgbs[t], "gray": grays[t],
-                   "view_name": f"v{t}"}, force_pgo=(t == n - 1))
+        n_pgo += bool(slam.step({"rgb": rgbs[t], "gray": grays[t],
+                                 "view_name": f"v{t}"},
+                                force_pgo=(t == n - 1)))
+    slam.n_pgo_runs = n_pgo
     return slam
 
 
@@ -125,7 +132,8 @@ def _calibrate_threshold(slam_probe, neighbor_edge_num=2) -> float:
 
 def _differential_case(img, enc_dim, enc_depth, enc_heads, dec_dim, dec_depth,
                        dec_heads, mlp_ratio, *, n_views=10, seed=0,
-                       traj_tol=0.05):
+                       traj_tol=0.05, seq_seeds=None, pgo_every=500,
+                       max_view_num=32, min_loops=1, min_pgo_runs=1):
     torch.manual_seed(seed)
     tm = load_reference_sta(
         img_size=(img, img), patch_size=16,
@@ -139,17 +147,19 @@ def _differential_case(img, enc_dim, enc_depth, enc_heads, dec_dim, dec_depth,
                     dec_depth=dec_depth, dec_heads=dec_heads,
                     mlp_ratio=mlp_ratio, compute_dtype=jnp.float32)
 
-    rgbs, grays = _make_sequence(n_views, (img, img))
+    rgbs, grays = _make_sequence(n_views, (img, img), seeds=seq_seeds)
     vocab = _build_vocab(grays[: n_views - 2])
 
+    kw = dict(pgo_every=pgo_every, max_view_num=max_view_num)
     probe = _run_slam(TorchReferenceFrontend(tm), rgbs, grays, vocab,
-                      rel_pose_thres=-1.0)
+                      rel_pose_thres=-1.0, **kw)
     rel_pose_thres = _calibrate_threshold(probe)
 
     slam_jax = _run_slam(FrontendEngine(cfg, params), rgbs, grays, vocab,
-                         rel_pose_thres=rel_pose_thres)
+                         rel_pose_thres=rel_pose_thres, **kw)
     slam_ref = _run_slam(TorchReferenceFrontend(tm), rgbs, grays, vocab,
-                         rel_pose_thres=rel_pose_thres)
+                         rel_pose_thres=rel_pose_thres, **kw)
+    assert slam_jax.n_pgo_runs == slam_ref.n_pgo_runs >= min_pgo_runs
 
     # --- identical graph topology: nodes, edge set, edge kinds -------------
     nodes_j, edges_j = _graph_facts(slam_jax)
@@ -162,7 +172,8 @@ def _differential_case(img, enc_dim, enc_depth, enc_heads, dec_dim, dec_depth,
     # accepted loop edges AND at least one rejection (gap slots)
     loop_edges = [e for e in edges_j
                   if e[2] == "pose" and abs(e[0] - e[1]) > 2]
-    assert loop_edges, "no loop edge accepted — test sequence too easy"
+    assert len(loop_edges) >= min_loops, \
+        f"only {len(loop_edges)} loop edges accepted (need {min_loops})"
     views_used = {v for v, _ in nodes_j}
     n_gaps = slam_jax.graph.num_nodes - len(nodes_j)
     assert n_gaps > 0, "no edge was rejected — threshold exercise missing"
@@ -206,5 +217,30 @@ def test_differential_trajectory_parity_full_size():
                                enc_heads=16, dec_dim=768, dec_depth=12,
                                dec_heads=12, mlp_ratio=4, n_views=8, seed=0)
     print(f"full-size differential parity: rmse={stats[0]:.3g} "
+          f"extent={stats[1]:.3g} edges={stats[2]} loops={stats[3]} "
+          f"gaps={stats[4]}")
+
+
+@pytest.mark.skipif(os.environ.get("VSLAM_FULL_PARITY") != "1",
+                    reason="full-size run: set VSLAM_FULL_PARITY=1 "
+                           "(result recorded in PARITY.md)")
+def test_differential_trajectory_parity_full_size_long():
+    """Flagship config at production SEQUENCE shape: 36 views with
+    mid-sequence revisits (views 16/17 re-see the textures of views 0/1,
+    and the final two close the loop again), ≥2 accepted loop closures,
+    and ≥2 WINDOWED PGOs triggered mid-run (pgo_every=16) — so PGO
+    write-back, the loop-window extension (loop_related_views grows the
+    opt window, then clears), and graph construction on top of
+    already-optimized poses are all pinned against the torch reference
+    frontend at full model size (reference: vista_slam/slam.py:
+    108-140,263-297). Hours on the 1-core dev box."""
+    seeds = list(range(16)) + [0, 1] + list(range(16, 32)) + [0, 1]
+    stats = _differential_case(img=224, enc_dim=1024, enc_depth=24,
+                               enc_heads=16, dec_dim=768, dec_depth=12,
+                               dec_heads=12, mlp_ratio=4, n_views=36,
+                               seed=0, seq_seeds=seeds, pgo_every=16,
+                               max_view_num=64, min_loops=2,
+                               min_pgo_runs=3)
+    print(f"full-size LONG differential parity: rmse={stats[0]:.3g} "
           f"extent={stats[1]:.3g} edges={stats[2]} loops={stats[3]} "
           f"gaps={stats[4]}")
