@@ -233,7 +233,7 @@ def test_differential_trajectory_parity_full_size_long():
     opt window, then clears), and graph construction on top of
     already-optimized poses are all pinned against the torch reference
     frontend at full model size (reference: vista_slam/slam.py:
-    108-140,263-297). Hours on the 1-core dev box."""
+    108-140,263-297). ~20 min on the 1-core dev box; result in PARITY.md."""
     seeds = list(range(16)) + [0, 1] + list(range(16, 32)) + [0, 1]
     stats = _differential_case(img=224, enc_dim=1024, enc_depth=24,
                                enc_heads=16, dec_dim=768, dec_depth=12,
