@@ -69,6 +69,8 @@ def main():
                          "uninterrupted one (the live-config crash-recovery "
                          "contract at scale)")
     ap.add_argument("--out", default="/tmp/stress_out")
+    ap.add_argument("--print-every", type=int, default=100,
+                    help="progress/cadence print interval (keyframes)")
     args = ap.parse_args()
 
     import cv2
@@ -114,7 +116,7 @@ def main():
             print(f"  kf {i + 1}: save_state -> {ckpt_path} "
                   f"({os.path.getsize(ckpt_path) / 1e6:.0f} MB, "
                   f"{time.time() - ts:.1f}s)", flush=True)
-        if (i + 1) % 100 == 0:
+        if (i + 1) % args.print_every == 0:
             g = slam.graph
             print(f"  kf {i + 1}: nodes {g.num_nodes}/{g.max_nodes} "
                   f"edges {g.num_edges}/{g.max_edges} "
