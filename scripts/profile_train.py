@@ -67,6 +67,11 @@ def main():
                          "fp32 = reference AdamW; bf16/int8 = compressed "
                          "XLA carriers; *_fused = single-pass Pallas "
                          "kernel (ops/pallas/adam8.py); same update math")
+    ap.add_argument("--reproj-grad", default="bf16_scatter",
+                    choices=("f32", "bf16_scatter", "sorted"),
+                    help="reprojection sampler VJP (losses.py): bf16_scatter"
+                         " = row-serial TPU scatter with bf16 payload; "
+                         "sorted = scatter-free argsort+cumsum VJP in fp32")
     ap.add_argument("--save-losses", default=None,
                     help="save the timed scan's per-step loss sequence to "
                          "this .npy (trajectory-identity evidence across "
@@ -118,7 +123,7 @@ def main():
             rng.standard_normal((S, B, H, W, 3)).astype(np.float32)),
     }
 
-    loss_fn = make_loss_fn(model, S)
+    loss_fn = make_loss_fn(model, S, reproj_grad=args.reproj_grad)
     optimizer = make_optimizer(total_steps=10_000,
                                state_dtype=args.opt_state)
     opt_state = optimizer.init(params)

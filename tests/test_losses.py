@@ -125,17 +125,48 @@ def test_bf16_grad_sampler_matches_f32_path():
     img = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
     grid = jnp.asarray(rng.uniform(-1.1, 1.1, (B, H, W, 2)), jnp.float32)
 
-    out_a, va = _grid_sample_nearest(img, grid, bf16_grad=False)
-    out_b, vb = _grid_sample_nearest(img, grid, bf16_grad=True)
+    out_a, va = _grid_sample_nearest(img, grid, grad_impl="f32")
+    out_b, vb = _grid_sample_nearest(img, grid, grad_impl="bf16_scatter")
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
     np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
 
-    def loss(img, bf16):
-        out, valid = _grid_sample_nearest(img, grid, bf16_grad=bf16)
+    def loss(img, impl):
+        out, valid = _grid_sample_nearest(img, grid, grad_impl=impl)
         return jnp.sum(out * valid[..., None] * 0.1)
 
-    g_a = jax.grad(lambda im: loss(im, False))(img)
-    g_b = jax.grad(lambda im: loss(im, True))(img)
+    g_a = jax.grad(lambda im: loss(im, "f32"))(img)
+    g_b = jax.grad(lambda im: loss(im, "bf16_scatter"))(img)
     # collisions accumulate in bf16: relative tolerance ~1e-2
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_a),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_sorted_grad_sampler_matches_f32_path():
+    """The scatter-free sorted VJP (argsort + fp32 cumsum + run-boundary
+    differences) must match the exact fp32 XLA scatter-add backward to
+    fp32-cumsum tolerance, forward bit-exact — including heavy index
+    collisions (many grid points landing on one source pixel)."""
+    import jax
+
+    from vista_slam_tpu.train.losses import _grid_sample_nearest
+
+    rng = np.random.default_rng(1)
+    B, H, W, C = 2, 24, 32, 3
+    img = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    # heavy collisions: grid quantized to a handful of target pixels
+    grid = jnp.asarray(
+        np.round(rng.uniform(-1.1, 1.1, (B, H, W, 2)) * 3) / 3, jnp.float32)
+
+    out_a, va = _grid_sample_nearest(img, grid, grad_impl="f32")
+    out_s, vs = _grid_sample_nearest(img, grid, grad_impl="sorted")
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_s))
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vs))
+
+    def loss(img, impl):
+        out, valid = _grid_sample_nearest(img, grid, grad_impl=impl)
+        return jnp.sum(jnp.sin(out) * valid[..., None] * 0.1)
+
+    g_a = jax.grad(lambda im: loss(im, "f32"))(img)
+    g_s = jax.grad(lambda im: loss(im, "sorted"))(img)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_a),
+                               rtol=1e-5, atol=1e-5)

@@ -175,16 +175,58 @@ def _take_rows_bwd(idx, ct):
 _take_rows_bf16grad.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
-def _grid_sample_nearest(img, grid_xy, align_corners=True, bf16_grad=False):
+@jax.custom_vjp
+def _take_rows_sortedgrad(v, idx):
+    """take_along_axis rows v[B,N,C] at idx[B,N] whose VJP computes the
+    gather-transpose WITHOUT a scatter: argsort the indices, cumsum the
+    sorted cotangent in fp32, and difference the cumsum at each output
+    slot's [lo, hi) run boundaries (binary search). sort / cumsum / gather
+    are all parallel on the TPU where scatter-add is row-serial (no
+    atomics, reference contrast: the CUDA grid_sample backward uses fp16
+    atomicAdd under autocast, sta_model/train.py:278); accumulation is
+    fp32 instead of the bf16 the scatter path needs to be affordable."""
+    return jnp.take_along_axis(v, idx[..., None], axis=1)
+
+
+def _take_rows_sorted_fwd(v, idx):
+    return _take_rows_sortedgrad(v, idx), idx
+
+
+def _take_rows_sorted_bwd(idx, ct):
+    N, C = ct.shape[1], ct.shape[2]
+
+    def one(ix, g):
+        order = jnp.argsort(ix)
+        ix_s = ix[order]
+        csum = jnp.cumsum(g[order].astype(jnp.float32), axis=0)
+        padded = jnp.concatenate([jnp.zeros((1, C), jnp.float32), csum], 0)
+        slots = jnp.arange(N, dtype=ix.dtype)
+        lo = jnp.searchsorted(ix_s, slots, side="left")
+        hi = jnp.searchsorted(ix_s, slots, side="right")
+        return padded[hi] - padded[lo]
+
+    return jax.vmap(one)(idx, ct).astype(ct.dtype), None
+
+
+_take_rows_sortedgrad.defvjp(_take_rows_sorted_fwd, _take_rows_sorted_bwd)
+
+_TAKE_ROWS = {
+    "f32": lambda v, idx: jnp.take_along_axis(v, idx[..., None], axis=1),
+    "bf16_scatter": _take_rows_bf16grad,
+    "sorted": _take_rows_sortedgrad,
+}
+
+
+def _grid_sample_nearest(img, grid_xy, align_corners=True, grad_impl="f32"):
     """img [B,H,W,C], grid in [-1,1] xy [B,H,W,2] -> nearest sample with
-    zero padding (matches torch grid_sample mode='nearest'). bf16_grad
-    routes the backward scatter through bfloat16 (see
-    _take_rows_bf16grad)."""
+    zero padding (matches torch grid_sample mode='nearest'). ``grad_impl``
+    selects the VJP of the gather: 'f32' (XLA fp32 scatter-add),
+    'bf16_scatter' (_take_rows_bf16grad) or 'sorted'
+    (_take_rows_sortedgrad, scatter-free). Forward math is identical."""
     B, H, W, C = img.shape
     flat, valid = _nearest_indices(grid_xy, H, W)
     v = img.reshape(B, H * W, C)
-    out = (_take_rows_bf16grad(v, flat) if bf16_grad
-           else jnp.take_along_axis(v, flat[..., None], axis=1))
+    out = _TAKE_ROWS[grad_impl](v, flat)
     out = out.reshape(B, H, W, C)
     return jnp.where(valid[..., None], out, 0.0), valid
 
@@ -222,11 +264,13 @@ def gt_correspondence(gt_src, gt_tgt, depth_tol=0.05) -> Correspondence:
     return Correspondence(grid, valid)
 
 
-def reproj_loss(gt_main, gt_supp, pred_main, pred_supp):
+def reproj_loss(gt_main, gt_supp, pred_main, pred_supp,
+                grad_impl="bf16_scatter"):
     """ReprojLoss(L21): predicted main points mapped through the predicted
     relative pose must agree with the supported view's prediction sampled at
     GT correspondences, both scaled by the prediction's joint norm factor
-    (reference: losses_geo.py:11-129)."""
+    (reference: losses_geo.py:11-129). ``grad_impl`` picks the sampler VJP
+    (see _grid_sample_nearest)."""
     corr = gt_correspondence(gt_main, gt_supp)
     B, H, W, _ = pred_main["pts3d"].shape
 
@@ -238,7 +282,7 @@ def reproj_loss(gt_main, gt_supp, pred_main, pred_supp):
     scale = jnp.where(jnp.isfinite(scale), scale, 1.0)[:, None, None, None]
 
     supp_sel, _ = _grid_sample_nearest(pred_supp["pts3d"], corr.grid,
-                                       bf16_grad=True)
+                                       grad_impl=grad_impl)
 
     rel = pred_main["pose"]
     pts = pred_main["pts3d"].reshape(B, -1, 3) @ jnp.swapaxes(rel[:, :3, :3], 1, 2) \
@@ -250,7 +294,8 @@ def reproj_loss(gt_main, gt_supp, pred_main, pred_supp):
 
 
 def sta_criterion(gt_main, gt_supports, pred_mains, pred_supports, *,
-                  conf_alpha=0.4, pose_conf_alpha=0.05):
+                  conf_alpha=0.4, pose_conf_alpha=0.05,
+                  reproj_grad="bf16_scatter"):
     """The full training criterion summed over support views (reference
     default: train.py:128-130). Returns (loss, details)."""
     total = 0.0
@@ -261,7 +306,8 @@ def sta_criterion(gt_main, gt_supports, pred_mains, pred_supports, *,
                                 pred_supports[i], alpha=conf_alpha)
         lr = rel_pose_loss(gt_main, gt_supports[i], pred_mains[i],
                            pred_supports[i], conf_alpha=pose_conf_alpha)
-        lj = reproj_loss(gt_main, gt_supports[i], pred_mains[i], pred_supports[i])
+        lj = reproj_loss(gt_main, gt_supports[i], pred_mains[i],
+                         pred_supports[i], grad_impl=reproj_grad)
         total = total + lp + lr + lj
         details[f"pts_{i}"] = lp
         details[f"pose_{i}"] = lr

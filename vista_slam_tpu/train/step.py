@@ -101,7 +101,7 @@ def split_train_outputs(out: dict, n_support: int, batch: int):
     return mains, supports
 
 
-def make_loss_fn(model: STA, n_support: int):
+def make_loss_fn(model: STA, n_support: int, reproj_grad="bf16_scatter"):
     def loss_fn(params, batch, conf_alpha=0.4):
         out = model.apply(params, batch["main"]["img"], batch["support_imgs"],
                           method=STA.train_forward)
@@ -112,18 +112,21 @@ def make_loss_fn(model: STA, n_support: int):
             for i in range(n_support)
         ]
         loss, details = sta_criterion(batch["main"], gt_supports, mains,
-                                      supports, conf_alpha=conf_alpha)
+                                      supports, conf_alpha=conf_alpha,
+                                      reproj_grad=reproj_grad)
         return loss, details
 
     return loss_fn
 
 
-def make_train_step(model: STA, optimizer, mesh, n_support: int):
+def make_train_step(model: STA, optimizer, mesh, n_support: int,
+                    reproj_grad="bf16_scatter"):
     """Build (init_fn, step_fn) with sharding constraints over the mesh.
     ``step_fn(state, batch, conf_alpha)`` takes the coarse-to-fine confidence
     alpha as a traced scalar (reference schedule: train.py:466-468), so the
-    per-epoch schedule changes values without recompiling."""
-    loss_fn = make_loss_fn(model, n_support)
+    per-epoch schedule changes values without recompiling. ``reproj_grad``
+    selects the reprojection sampler's VJP (losses._grid_sample_nearest)."""
+    loss_fn = make_loss_fn(model, n_support, reproj_grad=reproj_grad)
     if hasattr(optimizer, "step") and mesh.shape.get("tp", 1) > 1:
         raise ValueError(
             "fused optimizer kernels need replicated params (the per-leaf "
