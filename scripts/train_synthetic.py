@@ -86,6 +86,15 @@ def main():
     ap.add_argument("--out", default="/tmp/synth_sta.npz")
     ap.add_argument("--patch", type=int, default=8)
     ap.add_argument("--skip-eval", action="store_true")
+    ap.add_argument("--opt-state", default="fp32",
+                    choices=("fp32", "bf16", "int8", "bf16_fused",
+                             "int8_fused"),
+                    help="Adam moment storage (train/quantized_opt.py) — "
+                         "the model-scale quality A/B for BASELINE.md "
+                         "'Compressed-moment quality at model scale'")
+    ap.add_argument("--save-losses", default=None,
+                    help="save the per-step loss sequence to this .npy "
+                         "(same data order across --opt-state arms)")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")
@@ -102,7 +111,7 @@ def main():
 
     mesh = make_mesh()
     tx = make_optimizer(lr=args.lr, warmup_steps=100, total_steps=args.steps,
-                        weight_decay=0.01)
+                        weight_decay=0.01, state_dtype=args.opt_state)
     init_fn, jit_step, shard_batch = make_train_step(model, tx, mesh, n_support)
 
     with mesh:
@@ -115,11 +124,14 @@ def main():
         step = 0
         epoch = 0
         t0 = time.time()
+        losses = []
         while step < args.steps:
             loader.set_epoch(epoch)
             for batch in loader:
                 state, loss, details = jit_step(state, shard_batch(batch))
                 step += 1
+                if args.save_losses:
+                    losses.append(float(loss))
                 if step % 100 == 0 or step == 1:
                     print(f"step {step}: loss {float(loss):.3f} "
                           f"({(time.time() - t0):.0f}s)", flush=True)
@@ -127,6 +139,10 @@ def main():
                     break
             epoch += 1
         trained = jax.device_get(state.params)
+
+    if args.save_losses:
+        np.save(args.save_losses, np.asarray(losses, np.float32))
+        print(f"saved {len(losses)} per-step losses to {args.save_losses}")
 
     save_params_npz(args.out, trained)
     print(f"saved trained params to {args.out}")

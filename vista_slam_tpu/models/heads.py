@@ -241,10 +241,41 @@ class PoseHead(nn.Module):
             x = nn.relu(nn.Dense(self.hidden, name=f"mlp{i}")(x))
         t = nn.Dense(3, name="fc_t")(x)
         conf = nn.sigmoid(nn.Dense(1, name="fc_conf")(x))[..., 0]
+        # Zero-kernel + identity-bias init for the rotation regressor — a
+        # deliberate init-only deviation from the reference (its fc_rot
+        # uses torch's default init, pose_head.py:34-36, but it always
+        # trains from pretrained weights). From scratch, a random-rotation
+        # init can land in the loss's conf-gated 180-degree saddle: rot
+        # error ~pi makes the optimal pose_conf = alpha/err ~ 0.015, which
+        # gates the pose gradient ~70x down while the clamped-arccos
+        # gradient is zero at pi and the identity constraint is satisfied
+        # by the flip pair — measured on the synthetic scene: the head
+        # collapses to a constant ~Rz(pi) (pose_conf 0.0147, BASELINE.md
+        # 'From-scratch pose-head saddle'). R=I at init starts the error at
+        # the gt scale instead; the zero kernel trains away immediately
+        # (dL/dW = x^T delta). Loaded checkpoints are unaffected. The 9D
+        # bias is a sheared near-identity, NOT the exact identity: the SVD
+        # derivative blows up at repeated singular values (measured: NaN
+        # loss from step 1 at bias=I — and the head's row normalization
+        # makes any diagonal bias exactly orthonormal again), so the bias
+        # is chosen to have ALL-distinct singular values after row
+        # normalization (1.09/1.06/0.83) while projecting to R only 3.3
+        # degrees from the identity with finite, healthy gradients.
+        def id_bias(vals):
+            return lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                vals, dtype).reshape(shape)
+
         if self.rot_representation == "6D":
-            R = rotation_6d_to_matrix(nn.Dense(6, name="fc_rot")(x))
+            R = rotation_6d_to_matrix(nn.Dense(
+                6, kernel_init=nn.initializers.zeros,
+                bias_init=id_bias([1.0, 0, 0, 0, 1.0, 0]),
+                name="fc_rot")(x))
         else:
-            r9 = nn.Dense(9, name="fc_rot")(x)
+            r9 = nn.Dense(9, kernel_init=nn.initializers.zeros,
+                          bias_init=id_bias([1.0, 0.1, -0.05,
+                                             0.05, 1.0, 0.15,
+                                             -0.1, 0.05, 1.0]),
+                          name="fc_rot")(x)
             R = (svd_orthogonalize_stable(r9)
                  if self.rot_representation == "9D_stable"
                  else svd_orthogonalize(r9))

@@ -68,6 +68,16 @@ def pointmap_conf_loss(gt_main, gt_supp, pred_main, pred_supp, alpha=0.4):
 
 
 def _rot_geodesic(ra, rb):
+    """Geodesic angle with the reference's exact clamp
+    (losses_geo.py:166-168). Note the inherited 180-degree saddle: inside
+    the clamp the gradient is exactly zero, the identity constraint does
+    not break the tie (Rz(pi) @ Rz(pi) = I), and the conf weighting locks
+    it in (optimal conf = alpha/err ~ 0.015 at err ~ pi gates the pose
+    gradient ~70x down). Measured on the synthetic scene: from-scratch
+    runs collapse to a constant ~Rz(pi) pose with pointmaps converged —
+    even at 5000 steps. Kept identical to the reference for parity; the
+    fix is the pose head's near-identity rotation init (models/heads.py
+    PoseHead, BASELINE.md 'From-scratch pose-head saddle')."""
     tr = jnp.trace(jnp.swapaxes(ra, -1, -2) @ rb, axis1=-2, axis2=-1)
     return jnp.arccos(jnp.clip((tr - 1) / 2, -0.99999, 0.99999))
 
