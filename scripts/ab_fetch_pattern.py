@@ -56,12 +56,17 @@ def main():
     packed_dev = jax.device_put(rng.standard_normal(
         b * _PAIR_FLOATS + 2 * j_max).astype(np.float32))
 
-    for v in dict_dev.values():
-        v.block_until_ready()
-    packed_dev.block_until_ready()
+    # a fresh device array per rep: device_get caches the host value on the
+    # jax.Array, so re-fetching the same object is free after the first rep
+    # — bump every leaf on device each iteration so each timed fetch is a
+    # real transfer.
+    bump_tree = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x + 1.0, t))
 
     t_dict, t_packed = [], []
     for _ in range(args.reps):  # interleaved, same relay weather per pair
+        dict_dev = bump_tree(dict_dev)
+        packed_dev = bump_tree(packed_dev)
+        jax.block_until_ready((dict_dev, packed_dev))  # time transfer only
         t0 = time.perf_counter()
         jax.device_get(dict_dev)
         t_dict.append(time.perf_counter() - t0)
