@@ -46,6 +46,9 @@ def main():
                     help="store size (sets the donated dense-buffer size)")
     ap.add_argument("--neighbor-edge-num", type=int, default=3)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--combine", action="store_true",
+                    help="combine neighbor+loop pairs into one dispatch/"
+                         "fetch (OnlineSLAM combine_loop_batch)")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")
@@ -72,7 +75,8 @@ def main():
                       max_view_num=args.max_view_num,
                       neighbor_edge_num=args.neighbor_edge_num,
                       loop_edge_num=2, pgo_every=10 ** 9,
-                      rel_pose_thres=-1.0)
+                      rel_pose_thres=-1.0,
+                      combine_loop_batch=args.combine)
 
     walls = []
     for i in range(n):
